@@ -1,0 +1,237 @@
+"""Walker state.
+
+TPU-first redesign of pyqmc/configurations/coord.py:31-253. The reference
+wraps walker coordinates in mutable OpenConfigs/PeriodicConfigs objects that
+carry a distance-metric object. Here walker state is a single immutable pytree
+(`Configs`) whose array leaves live in HBM and flow through jit/scan/shard_map;
+the geometry (lattice) is static metadata (`Geometry`) hashable for jit.
+
+The reference API surface covered here:
+  make_irreducible  coord.py:45-52,164-178
+  move (masked)     coord.py:54-60,180-188
+  split/join        coord.py:72-88,200-222
+  initializer + hdf save/load  coord.py:62-111,190-253
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops import distances as _dist
+from .ops.pbc import enforce_pbc
+
+
+class Geometry:
+    """Static (hashable) geometry: open boundary or a periodic lattice."""
+
+    def __init__(self, lattice=None):
+        if lattice is None:
+            self.lattice = None
+            self.lattice_inv = None
+        else:
+            self.lattice = np.asarray(lattice, dtype=np.float64)
+            self.lattice_inv = np.linalg.inv(self.lattice)
+        self.mode = _dist.classify_lattice(lattice)
+
+    @property
+    def periodic(self) -> bool:
+        return self.lattice is not None
+
+    # --- distance kernels bound to this lattice -------------------------
+    def minimal_image(self, d):
+        return _dist.minimal_image(d, self._lat(), self._lat_inv(), self.mode)
+
+    def dist_matrix(self, positions):
+        return _dist.dist_matrix(positions, self._lat(), self._lat_inv(), self.mode)
+
+    def dist_i(self, positions, epos):
+        return _dist.dist_i(positions, epos, self._lat(), self._lat_inv(), self.mode)
+
+    def enforce(self, epos):
+        """Fold epos into the cell; returns (wrapped, wrap). Identity if open."""
+        if not self.periodic:
+            return epos, jnp.zeros(epos.shape, dtype=jnp.int32)
+        return enforce_pbc(self._lat(), self._lat_inv(), epos)
+
+    def _lat(self):
+        return None if self.lattice is None else jnp.asarray(self.lattice)
+
+    def _lat_inv(self):
+        return None if self.lattice is None else jnp.asarray(self.lattice_inv)
+
+    # --- hashability for jit static args --------------------------------
+    def __hash__(self):
+        key = b"open" if self.lattice is None else self.lattice.tobytes()
+        return hash((self.mode, key))
+
+    def __eq__(self, other):
+        if not isinstance(other, Geometry):
+            return NotImplemented
+        if (self.lattice is None) != (other.lattice is None):
+            return False
+        if self.lattice is None:
+            return True
+        return np.array_equal(self.lattice, other.lattice)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Configs:
+    """Walker ensemble: positions (nconf, nelec, 3) and integer wrap counts."""
+
+    positions: jax.Array
+    wrap: jax.Array
+    geometry: Geometry = dataclasses.field(metadata=dict(static=True))
+
+    # --- construction ----------------------------------------------------
+    @staticmethod
+    def create(positions, geometry: Optional[Geometry] = None, wrap=None):
+        geometry = geometry or Geometry()
+        positions = jnp.asarray(positions)
+        if wrap is None:
+            wrap = jnp.zeros(positions.shape, dtype=jnp.int32)
+        return Configs(positions=positions, wrap=wrap, geometry=geometry)
+
+    @property
+    def nconf(self):
+        return self.positions.shape[0]
+
+    @property
+    def nelec(self):
+        return self.positions.shape[1]
+
+    # --- sampling ops (all pure) ------------------------------------------
+    def electron(self, e):
+        """Positions of electron e: (nconf, 3)."""
+        return self.positions[:, e, :]
+
+    def make_irreducible(self, epos):
+        """Fold a proposed single-electron position into the cell.
+
+        Returns (epos_folded, wrap_delta); cf. coord.py:164-178.
+        """
+        return self.geometry.enforce(epos)
+
+    def move(self, e, epos, wrap_delta=None, mask=None):
+        """Masked single-electron move; returns a new Configs.
+
+        Args:
+          e: static electron index.
+          epos: (nconf, 3) already folded into the cell.
+          wrap_delta: (nconf, 3) int32 wrap increment from make_irreducible.
+          mask: (nconf,) bool — which walkers accept the move.
+        """
+        if mask is None:
+            mask = jnp.ones(epos.shape[0], dtype=bool)
+        m = mask[:, None]
+        new_pos = self.positions.at[:, e, :].set(
+            jnp.where(m, epos, self.positions[:, e, :])
+        )
+        new_wrap = self.wrap
+        if wrap_delta is not None:
+            new_wrap = self.wrap.at[:, e, :].set(
+                jnp.where(m, self.wrap[:, e, :] + wrap_delta, self.wrap[:, e, :])
+            )
+        return dataclasses.replace(self, positions=new_pos, wrap=new_wrap)
+
+    def move_all(self, new_positions, new_wrap=None, mask=None):
+        """Masked whole-walker replacement (used by DMC branching etc.)."""
+        if mask is None:
+            return dataclasses.replace(
+                self,
+                positions=new_positions,
+                wrap=self.wrap if new_wrap is None else new_wrap,
+            )
+        m = mask[:, None, None]
+        pos = jnp.where(m, new_positions, self.positions)
+        wrap = self.wrap if new_wrap is None else jnp.where(m, new_wrap, self.wrap)
+        return dataclasses.replace(self, positions=pos, wrap=wrap)
+
+    def resample(self, indices):
+        """Gather walkers by index (DMC branching); cf. coord.py:66-70."""
+        return dataclasses.replace(
+            self, positions=self.positions[indices], wrap=self.wrap[indices]
+        )
+
+    # --- host-side management --------------------------------------------
+    def split(self, n):
+        pos = np.array_split(np.asarray(self.positions), n)
+        wrap = np.array_split(np.asarray(self.wrap), n)
+        return [
+            Configs.create(p, self.geometry, wrap=jnp.asarray(w))
+            for p, w in zip(pos, wrap)
+        ]
+
+    @staticmethod
+    def join(parts):
+        pos = jnp.concatenate([p.positions for p in parts], axis=0)
+        wrap = jnp.concatenate([p.wrap for p in parts], axis=0)
+        return Configs(positions=pos, wrap=wrap, geometry=parts[0].geometry)
+
+    # --- persistence -------------------------------------------------------
+    def to_hdf(self, grp):
+        import numpy as _np
+
+        for name in ("positions", "wrap"):
+            data = _np.asarray(getattr(self, name))
+            if name in grp:
+                grp[name][...] = data
+            else:
+                grp.create_dataset(name, data=data)
+        if self.geometry.periodic and "lattice" not in grp:
+            grp.create_dataset("lattice", data=self.geometry.lattice)
+
+    @staticmethod
+    def from_hdf(grp):
+        lattice = np.asarray(grp["lattice"]) if "lattice" in grp else None
+        return Configs.create(
+            jnp.asarray(np.asarray(grp["positions"])),
+            Geometry(lattice),
+            wrap=jnp.asarray(np.asarray(grp["wrap"])),
+        )
+
+
+def initial_guess(mol, nconfig, r=1.0, key=None):
+    """Place electrons near nuclei proportionally to (effective) charge.
+
+    Functional port of the reference heuristic (method/mc.py:25-73): assign
+    electrons round-robin weighted by nuclear charge, add Gaussian noise, fold
+    into the cell for periodic systems.
+
+    Args:
+      mol: a pyqmc_tpu.system molecule/cell (needs .atom_coords (natom, 3),
+           .atom_charges (natom,), .nelec (nup, ndn), optional .lattice).
+      nconfig: number of walkers.
+      key: jax PRNG key.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    coords = np.asarray(mol.atom_coords)
+    charges = np.asarray(mol.atom_charges, dtype=int)
+    nup, ndn = mol.nelec
+    geometry = Geometry(getattr(mol, "lattice", None))
+
+    # deterministic assignment: distribute spins over atoms by charge
+    centers = []
+    for spin_count in (nup, ndn):
+        remaining = charges.copy().astype(float)
+        sel = []
+        for _ in range(spin_count):
+            i = int(np.argmax(remaining))
+            sel.append(i)
+            remaining[i] -= 1.0
+        centers.extend(coords[i] for i in sel)
+    centers = np.stack(centers, axis=0)  # (nelec, 3)
+
+    noise = jax.random.normal(key, (nconfig, centers.shape[0], 3)) * r
+    positions = jnp.asarray(centers)[None] + noise
+    cfg = Configs.create(positions, geometry)
+    if geometry.periodic:
+        wrapped, wrap = geometry.enforce(cfg.positions)
+        cfg = dataclasses.replace(cfg, positions=wrapped, wrap=wrap)
+    return cfg

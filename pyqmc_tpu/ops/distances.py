@@ -1,0 +1,96 @@
+"""Displacement / distance kernels, open and minimal-image.
+
+TPU-first redesign of pyqmc/configurations/distance.py:18-159. The reference
+selects between three minimal-image strategies (diagonal / orthorhombic /
+general 27-image) at object-construction time; we do the same selection
+statically (host-side, from the numpy lattice) so the jitted kernel contains a
+single branch-free code path.
+
+All functions are pure jnp and broadcast over arbitrary leading axes; the last
+axis is 3 (cartesian).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax.numpy as jnp
+
+MODE_OPEN = "open"
+MODE_DIAGONAL = "diagonal"
+MODE_ORTHORHOMBIC = "orthorhombic"
+MODE_GENERAL = "general"
+
+
+def classify_lattice(lattice) -> str:
+    """Pick the cheapest correct minimal-image strategy for a lattice.
+
+    Mirrors the decision in the reference (distance.py:98-110): a diagonal
+    lattice allows per-axis rounding in cartesian space, an orthogonal (but
+    rotated) one allows rounding in fractional space, and a general lattice
+    needs a 27-image search.
+    """
+    if lattice is None:
+        return MODE_OPEN
+    lattice = np.asarray(lattice)
+    if np.allclose(lattice, np.diag(np.diagonal(lattice))):
+        return MODE_DIAGONAL
+    ortho = lattice @ lattice.T
+    if np.allclose(ortho, np.diag(np.diagonal(ortho))):
+        return MODE_ORTHORHOMBIC
+    return MODE_GENERAL
+
+
+def _image_shifts(lattice: np.ndarray) -> np.ndarray:
+    """(27, 3) cartesian translations of the 3x3x3 image block."""
+    span = np.array([-1.0, 0.0, 1.0])
+    pts = np.array(np.meshgrid(span, span, span, indexing="ij")).reshape(3, -1).T
+    return pts @ np.asarray(lattice)
+
+
+def minimal_image(d, lattice, lattice_inv, mode: str):
+    """Map displacement vectors d (..., 3) to their minimal image.
+
+    `mode` must come from classify_lattice and is static under jit.
+    """
+    if mode == MODE_OPEN:
+        return d
+    if mode in (MODE_DIAGONAL, MODE_ORTHORHOMBIC):
+        frac = d @ lattice_inv
+        frac = frac - jnp.round(frac)
+        return frac @ lattice
+    # general: fold into the central cell, then search the 27 neighbours.
+    frac = d @ lattice_inv
+    frac = frac - jnp.round(frac)
+    base = frac @ lattice
+    shifts = jnp.asarray(_image_shifts(np.asarray(lattice)))  # (27, 3)
+    cand = base[..., None, :] + shifts  # (..., 27, 3)
+    r2 = jnp.sum(cand * cand, axis=-1)
+    idx = jnp.argmin(r2, axis=-1)
+    return jnp.take_along_axis(cand, idx[..., None, None], axis=-2)[..., 0, :]
+
+
+def pair_displacements(pos_a, pos_b, lattice=None, lattice_inv=None, mode=MODE_OPEN):
+    """Displacements b - a for broadcastable (..., 3) arrays."""
+    return minimal_image(pos_b - pos_a, lattice, lattice_inv, mode)
+
+
+def dist_matrix(positions, lattice=None, lattice_inv=None, mode=MODE_OPEN):
+    """All-pairs displacement matrix.
+
+    Args:
+      positions: (..., n, 3).
+    Returns:
+      (..., n, n, 3) displacement r_j - r_i (minimal image); diagonal is zero.
+
+    Unlike the reference (distance.py:36-58) which packs the strict upper
+    triangle into a ragged list, we keep the dense matrix: static shapes and
+    vector-unit friendly masking beat the 2x FLOP saving on TPU.
+    """
+    d = positions[..., None, :, :] - positions[..., :, None, :]
+    return minimal_image(d, lattice, lattice_inv, mode)
+
+
+def dist_i(positions, epos, lattice=None, lattice_inv=None, mode=MODE_OPEN):
+    """Displacements from every row of positions (..., n, 3) to epos (..., 3)."""
+    d = epos[..., None, :] - positions
+    return minimal_image(d, lattice, lattice_inv, mode)

@@ -1,0 +1,257 @@
+"""GTO basis sets.
+
+Self-contained replacement for the slice of PySCF the reference leans on for
+basis handling (the reference calls mol.eval_gto / carries mol._basis;
+cf. pyqmc/wf/orbitals.py:46-51). Since this framework is standalone, we:
+
+  * represent a basis as {element: [Shell(l, exps, coeffs), ...]} with
+    pyscf-compatible normalization (see ops/harmonics.normalize_contraction),
+  * ship a small library of built-in sets (STO-3G, 6-31G, cc-pVDZ H,
+    ccECP-ccpVDZ Li/C) adequate for tests and benchmarks,
+  * provide an even-tempered-basis generator (the reference's own JAX examples
+    use ETB bases for accelerator friendliness, examples/jax/01_slater.py),
+  * parse pyscf-format nested lists so pyscf-derived data interoperates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..ops.harmonics import normalize_contraction
+
+
+@dataclasses.dataclass(frozen=True)
+class Shell:
+    l: int
+    exps: tuple  # primitive exponents
+    coeffs: tuple  # normalized contraction coefficients (radial norm included)
+
+    @property
+    def nprim(self):
+        return len(self.exps)
+
+    @property
+    def nsph(self):
+        return 2 * self.l + 1
+
+
+def make_shell(l: int, exps: Sequence[float], raw_coeffs: Sequence[float]) -> Shell:
+    c = normalize_contraction(l, np.asarray(exps), np.asarray(raw_coeffs))
+    return Shell(l=l, exps=tuple(float(e) for e in exps), coeffs=tuple(float(x) for x in c))
+
+
+def parse_pyscf_basis(data) -> List[Shell]:
+    """Parse one element's basis in pyscf nested-list format.
+
+    Format: [[l, [e1, c1, c1b, ...], [e2, c2, c2b, ...], ...], ...]; general
+    contractions (multiple coefficient columns) are expanded to segmented
+    shells.
+    """
+    shells = []
+    for entry in data:
+        l = int(entry[0])
+        prims = np.asarray(entry[1:], dtype=np.float64)
+        exps = prims[:, 0]
+        for col in range(1, prims.shape[1]):
+            coeffs = prims[:, col]
+            keep = coeffs != 0.0
+            if not np.any(keep):
+                continue
+            shells.append(make_shell(l, exps[keep], coeffs[keep]))
+    return shells
+
+
+def even_tempered_basis(
+    lmax: int, alpha0=0.1, beta=2.5, n_per_l=(8, 6, 3, 1)
+) -> List[Shell]:
+    """Uncontracted even-tempered basis: exps = alpha0 * beta^k per channel."""
+    shells = []
+    for l in range(lmax + 1):
+        n = n_per_l[l] if l < len(n_per_l) else 1
+        for k in range(n):
+            shells.append(make_shell(l, [alpha0 * beta**k], [1.0]))
+    return shells
+
+
+# --------------------------------------------------------------------------
+# Built-in basis library (raw pyscf-format data; public basis-set constants).
+# --------------------------------------------------------------------------
+
+def _sto3g(core_exps, valence_exps=None):
+    s_coef = [0.15432897, 0.53532814, 0.44463454]
+    sp_scoef = [-0.09996723, 0.39951283, 0.70011547]
+    sp_pcoef = [0.15591627, 0.60768372, 0.39195739]
+    shells = [[0] + [[e, c] for e, c in zip(core_exps, s_coef)]]
+    if valence_exps is not None:
+        shells.append([0] + [[e, c] for e, c in zip(valence_exps, sp_scoef)])
+        shells.append([1] + [[e, c] for e, c in zip(valence_exps, sp_pcoef)])
+    return shells
+
+
+_BUILTIN = {
+    "sto-3g": {
+        "H": _sto3g([3.42525091, 0.62391373, 0.1688554]),
+        "He": _sto3g([6.36242139, 1.15892300, 0.31364979]),
+        "Li": _sto3g(
+            [16.119575, 2.9362007, 0.7946505], [0.6362897, 0.1478601, 0.0480887]
+        ),
+        "C": _sto3g(
+            [71.616837, 13.045096, 3.5305122], [2.9412494, 0.6834831, 0.2222899]
+        ),
+        "N": _sto3g(
+            [99.106169, 18.052312, 4.8856602], [3.7804559, 0.8784966, 0.2857144]
+        ),
+        "O": _sto3g(
+            [130.70932, 23.808861, 6.4436083], [5.0331513, 1.1695961, 0.38038896]
+        ),
+    },
+    "6-31g": {
+        "H": [
+            [0, [18.731137, 0.03349460], [2.8253937, 0.23472695], [0.6401217, 0.81375733]],
+            [0, [0.1612778, 1.0]],
+        ],
+        "O": [
+            [
+                0,
+                [5484.6717, 0.0018311],
+                [825.23495, 0.0139501],
+                [188.04696, 0.0684451],
+                [52.964500, 0.2327143],
+                [16.897570, 0.4701930],
+                [5.7996353, 0.3585209],
+            ],
+            [
+                0,
+                [15.539616, -0.1107775],
+                [3.5999336, -0.1480263],
+                [1.0137618, 1.1307670],
+            ],
+            [
+                1,
+                [15.539616, 0.0708743],
+                [3.5999336, 0.3397528],
+                [1.0137618, 0.7271586],
+            ],
+            [0, [0.2700058, 1.0]],
+            [1, [0.2700058, 1.0]],
+        ],
+    },
+    "ccpvdz": {
+        "H": [
+            [0, [13.01, 0.019685], [1.962, 0.137977], [0.4446, 0.478148]],
+            [0, [0.122, 1.0]],
+            [1, [0.727, 1.0]],
+        ],
+    },
+    # ccECP valence-only cc-pVDZ (published ccECP constants; identical to the
+    # reference test fixtures' mol._basis).
+    "ccecpccpvdz": {
+        "Li": [
+            [
+                0,
+                [16.001258, 4.34e-05],
+                [7.583113, -0.0007531],
+                [3.593693, -0.0002519],
+                [1.703077, 0.0169674],
+                [0.807101, -0.0909921],
+                [0.382491, -0.0893155],
+                [0.181265, 0.0294155],
+            ],
+            [0, [0.103721, 1.0]],
+            [
+                1,
+                [7.004881, -0.0005306],
+                [3.451199, 0.0012949],
+                [1.700353, 0.0070115],
+                [0.837738, 0.0171604],
+                [0.412741, 0.036724],
+                [0.203351, 0.0965042],
+                [0.100188, 0.2211013],
+            ],
+            [2, [0.11072, 1.0]],
+        ],
+        "C": [
+            [
+                0,
+                [13.073594, 0.0051583],
+                [6.541187, 0.0603424],
+                [4.573411, -0.1978471],
+                [1.637494, -0.081034],
+                [0.819297, 0.2321726],
+                [0.409924, 0.2914643],
+            ],
+            [
+                1,
+                [9.934169, 0.0209076],
+                [3.886955, 0.0572698],
+                [1.871016, 0.1122682],
+                [0.935757, 0.2130082],
+                [0.468003, 0.2835815],
+            ],
+            [2, [0.56116, 1.0]],
+        ],
+    },
+}
+
+# ccECP pseudopotentials (pyscf _ecp format: {el: [ncore, [[l, [r^0..r^6
+# slots of [exp, coeff]]], ...]]}; l = -1 is the local channel, the radial
+# term for slot n is coeff * r^(n-2) * exp(-exp * r^2)).
+ECP_LIBRARY = {
+    "ccecp": {
+        "Li": [2, [
+            [-1, [[], [[15.0, 1.0]], [[1.80605426846072, -1.24272969818004]],
+                  [[15.0479971422127, 15.0]], [], [], []]],
+            [0, [[], [], [[1.33024777689591, 6.75286789026804]], [], [], [], []]],
+        ]],
+        "C": [2, [
+            [-1, [[], [[14.43502, 4.0]], [[7.38188, -25.81955]],
+                  [[8.39889, 57.74008]], [], [], []]],
+            [0, [[], [], [[7.76079, 52.13345]], [], [], [], []]],
+        ]],
+    }
+}
+
+
+def get_ecp(name, elements):
+    """ECP lookup: name is a library key or a dict {el: pyscf-format ecp}."""
+    if isinstance(name, dict):
+        lib_mixed = {}
+        for el, v in name.items():
+            if isinstance(v, str):
+                lib_mixed[el] = ECP_LIBRARY[v.lower()][el]
+            else:
+                lib_mixed[el] = v
+        return lib_mixed
+    lib = ECP_LIBRARY[name.lower()]
+    return {el: lib[el] for el in elements if el in lib}
+
+
+def get_basis(name, elements) -> Dict[str, List[Shell]]:
+    """Look up a built-in basis for the given elements.
+
+    `name` may also be a dict {element: pyscf-format list} or
+    {element: list[Shell]} for custom bases.
+    """
+    if isinstance(name, dict):
+        out = {}
+        for el, data in name.items():
+            if data and isinstance(data[0], Shell):
+                out[el] = list(data)
+            else:
+                out[el] = parse_pyscf_basis(data)
+        return out
+    key = name.lower().replace("_", "-").replace(" ", "")
+    key = {"sto3g": "sto-3g", "631g": "6-31g", "cc-pvdz": "ccpvdz",
+           "ccecp-ccpvdz": "ccecpccpvdz"}.get(key.replace("-", ""), key)
+    if key not in _BUILTIN:
+        raise KeyError(f"unknown built-in basis {name!r}; pass explicit data")
+    table = _BUILTIN[key]
+    out = {}
+    for el in elements:
+        if el not in table:
+            raise KeyError(f"basis {name!r} has no data for element {el}")
+        out[el] = parse_pyscf_basis(table[el])
+    return out
