@@ -1,0 +1,307 @@
+"""Multi-determinant Slater wavefunction, TPU-native.
+
+Functional redesign of pyqmc/wf/slater.py (and its JAX seed,
+pyqmc/wf/jax/slater.py:16-103,256-410):
+
+  * state is a NamedTuple of arrays resident in HBM: per-spin determinant
+    inverses, phases and log-determinants (the union of the reference's
+    _aovals/_dets/_inverse caches, slater.py:233-259);
+  * all methods are pure, batched over walkers, and take the electron index
+    as a *traced* scalar so the whole electron sweep compiles into one
+    lax.scan (no per-electron host round-trips, cf. slater.py:401,413);
+  * spin selection is branchless (both spin channels' small det-ratio
+    contractions are computed and selected) except updateinternals, which
+    uses lax.cond so only one spin's O(ndet n^2) Sherman-Morrison runs;
+  * determinant expansion combined in log space with per-walker max-shift
+    (determinant_tools.py:74-88 semantics).
+
+Works for real and complex dtypes ("phase" = +-1 or unit-modulus complex).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.gto import GTOSpec, eval_gto
+from ..ops.linalg import slogdet_inv, sherman_morrison_row
+
+
+class SlaterState(NamedTuple):
+    inv_up: jax.Array  # (nconf, ndu, nup, nup)
+    inv_dn: jax.Array  # (nconf, ndd, ndn, ndn)
+    phase_up: jax.Array  # (nconf, ndu)
+    logdet_up: jax.Array
+    phase_dn: jax.Array
+    logdet_dn: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DeterminantExpansion:
+    """Static determinant bookkeeping (cf. determinant_tools.py:39-71).
+
+    Unique spin-determinants are listed per spin; the expansion refers to
+    them through map_up/map_dn.
+    """
+
+    occ_up: np.ndarray  # (ndu, nup) orbital indices
+    occ_dn: np.ndarray  # (ndd, ndn)
+    map_up: np.ndarray  # (ndet,)
+    map_dn: np.ndarray  # (ndet,)
+
+    def __hash__(self):
+        return hash(
+            (self.occ_up.tobytes(), self.occ_dn.tobytes(),
+             self.map_up.tobytes(), self.map_dn.tobytes())
+        )
+
+    def __eq__(self, other):
+        return (
+            np.array_equal(self.occ_up, other.occ_up)
+            and np.array_equal(self.occ_dn, other.occ_dn)
+            and np.array_equal(self.map_up, other.map_up)
+            and np.array_equal(self.map_dn, other.map_dn)
+        )
+
+    @staticmethod
+    def single(nup, ndn):
+        return DeterminantExpansion(
+            occ_up=np.arange(nup)[None, :],
+            occ_dn=np.arange(ndn)[None, :],
+            map_up=np.zeros(1, dtype=np.int64),
+            map_dn=np.zeros(1, dtype=np.int64),
+        )
+
+
+class Slater:
+    """Static configuration + pure methods; parameters passed explicitly.
+
+    params pytree: {"det_coeff": (ndet,), "mo_coeff_alpha": (nao, norb_up),
+                    "mo_coeff_beta": (nao, norb_dn)}
+    """
+
+    def __init__(self, mol, gto_spec: Optional[GTOSpec], expansion, mo_coeff, det_coeff=None):
+        self.nup, self.ndn = mol.nelec
+        self.nelec = self.nup + self.ndn
+        self.spec = gto_spec or GTOSpec.from_molecule(mol)
+        self.expansion = expansion
+        ca, cb = mo_coeff
+        if det_coeff is None:
+            det_coeff = np.ones(len(expansion.map_up))
+        self._params0 = {
+            "det_coeff": jnp.asarray(det_coeff),
+            "mo_coeff_alpha": jnp.asarray(ca),
+            "mo_coeff_beta": jnp.asarray(cb),
+        }
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_mean_field(mf, tol=None):
+        """Single-determinant Slater from an SCF solution."""
+        mol = mf.mol
+        nup, ndn = mol.nelec
+        ca = mf.mo_coeff[0][:, :nup]
+        cb = mf.mo_coeff[1][:, :ndn]
+        return Slater(mol, None, DeterminantExpansion.single(nup, ndn), (ca, cb))
+
+    def make_params(self):
+        return jax.tree.map(lambda x: x, self._params0)
+
+    # --- helpers ---------------------------------------------------------
+    def _aos(self, positions, mode):
+        return eval_gto(self.spec, positions, mode=mode)
+
+    def _det_matrices(self, mo, occ):
+        """mo (nconf, n_s, norb) -> (nconf, nd, n_s, n_s)."""
+        nconf, ns = mo.shape[0], mo.shape[1]
+        occf = jnp.asarray(occ.reshape(-1))
+        m = mo[:, :, occf].reshape(nconf, ns, occ.shape[0], occ.shape[1])
+        return m.transpose(0, 2, 1, 3)
+
+    def _mos_new(self, params, ao):
+        """AO values at proposed position(s) -> per-spin MO values."""
+        mo_up = ao @ params["mo_coeff_alpha"]
+        mo_dn = ao @ params["mo_coeff_beta"]
+        return mo_up, mo_dn
+
+    def _det_ratios(self, mo_new, inv, occ, row):
+        """r_k = sum_j mo_new[occ[k,j]] inv[k, j, row]  (per unique det).
+
+        mo_new: (nconf, [naux,] norb); inv: (nconf, nd, n, n); row traced.
+        Returns (nconf, [naux,] nd).
+        """
+        col = inv[:, :, :, row]  # (nconf, nd, n)
+        nconf = mo_new.shape[0]
+        nd, n = occ.shape
+        occf = jnp.asarray(occ.reshape(-1))
+        sel = mo_new[..., occf].reshape(mo_new.shape[:-1] + (nd, n))
+        if sel.ndim == 3:  # (nconf, nd, n)
+            return jnp.einsum("ckj,ckj->ck", sel, col)
+        return jnp.einsum("cakj,ckj->cak", sel, col)  # aux axis
+
+    def _expansion_weights(self, params, state):
+        """Signed, max-shifted weights w_d = c_d phase_d e^{log_d - ref}.
+
+        Returns (w (nconf, ndet), denom (nconf,), ref (nconf,)).
+        """
+        mu = jnp.asarray(self.expansion.map_up)
+        md = jnp.asarray(self.expansion.map_dn)
+        logs = state.logdet_up[:, mu] + state.logdet_dn[:, md]
+        phase = state.phase_up[:, mu] * state.phase_dn[:, md]
+        ref = jnp.max(logs, axis=1, keepdims=True)
+        w = params["det_coeff"][None, :] * phase * jnp.exp(logs - ref)
+        return w, jnp.sum(w, axis=1), ref[:, 0]
+
+    # --- protocol ---------------------------------------------------------
+    def recompute(self, params, positions):
+        nconf = positions.shape[0]
+        ao = self._aos(positions, 0)  # (nconf, nelec, nao)
+        mo_up = ao[:, : self.nup] @ params["mo_coeff_alpha"]
+        mo_dn = ao[:, self.nup :] @ params["mo_coeff_beta"]
+        m_up = self._det_matrices(mo_up, self.expansion.occ_up)
+        m_dn = self._det_matrices(mo_dn, self.expansion.occ_dn)
+        pu, lu, iu = slogdet_inv(m_up)
+        pd, ld, idn = slogdet_inv(m_dn)
+        return SlaterState(
+            inv_up=iu, inv_dn=idn, phase_up=pu, logdet_up=lu,
+            phase_dn=pd, logdet_dn=ld,
+        )
+
+    def value(self, params, state):
+        """(phase, logabs) of the full expansion."""
+        w, denom, ref = self._expansion_weights(params, state)
+        absd = jnp.abs(denom)
+        # guard: exactly-zero expansion (node) -> tiny value
+        safe = jnp.where(absd == 0, 1e-300 if absd.dtype == jnp.float64 else 1e-30, absd)
+        return denom / safe, jnp.log(safe) + ref
+
+    def _spin_row(self, e):
+        pred = e < self.nup
+        row_up = jnp.clip(e, 0, self.nup - 1)
+        row_dn = jnp.clip(e - self.nup, 0, max(self.ndn - 1, 0))
+        return pred, row_up, row_dn
+
+    def _ratio_terms(self, params, state, e, mo_up_new, mo_dn_new):
+        """Expansion ratio for replacing electron e with given MO values."""
+        pred, row_up, row_dn = self._spin_row(e)
+        mu = jnp.asarray(self.expansion.map_up)
+        md = jnp.asarray(self.expansion.map_dn)
+        if self.ndn == 0:
+            r = self._det_ratios(
+                mo_up_new, state.inv_up, self.expansion.occ_up, row_up
+            )[..., mu]
+        elif self.nup == 0:
+            r = self._det_ratios(
+                mo_dn_new, state.inv_dn, self.expansion.occ_dn, row_dn
+            )[..., md]
+        else:
+            r_up = self._det_ratios(
+                mo_up_new, state.inv_up, self.expansion.occ_up, row_up
+            )
+            r_dn = self._det_ratios(
+                mo_dn_new, state.inv_dn, self.expansion.occ_dn, row_dn
+            )
+            r = jnp.where(pred, r_up[..., mu], r_dn[..., md])  # (nconf[, naux], ndet)
+        w, denom, _ = self._expansion_weights(params, state)
+        if r.ndim == 3:
+            num = jnp.einsum("cad,cd->ca", r, w)
+            return num / denom[:, None]
+        num = jnp.einsum("cd,cd->c", r, w)
+        return num / denom
+
+    def testvalue(self, params, state, e, epos):
+        """Psi(..., r_e=epos, ...)/Psi. epos (nconf, 3) or (nconf, naux, 3)."""
+        ao = self._aos(epos, 0)
+        mo_up, mo_dn = self._mos_new(params, ao)
+        ratio = self._ratio_terms(params, state, e, mo_up, mo_dn)
+        saved = {"mo_up": mo_up, "mo_dn": mo_dn}
+        return ratio, saved
+
+    def gradient_value(self, params, state, e, epos):
+        """(grad psi/psi at epos (nconf,3), ratio (nconf,), saved)."""
+        ao, ao_grad = self._aos(epos, 1)  # (nconf, nao), (nconf, 3, nao)
+        mo_up, mo_dn = self._mos_new(params, ao)
+        gmo_up, gmo_dn = self._mos_new(params, ao_grad)
+        ratio = self._ratio_terms(params, state, e, mo_up, mo_dn)
+        gratio = self._ratio_terms(params, state, e, gmo_up, gmo_dn)  # (nconf,3)? no
+        # gmo has shape (nconf, 3, norb): _ratio_terms treats axis 1 as aux
+        grad = gratio / ratio[:, None]
+        saved = {"mo_up": mo_up, "mo_dn": mo_dn}
+        return grad, ratio, saved
+
+    def gradient(self, params, state, e, epos):
+        g, _, _ = self.gradient_value(params, state, e, epos)
+        return g
+
+    def gradient_laplacian(self, params, state, e, epos):
+        """(grad psi/psi, lap psi/psi) both at epos."""
+        ao, ao_grad, ao_lap = self._aos(epos, 2)
+        mo_up, mo_dn = self._mos_new(params, ao)
+        gmo_up, gmo_dn = self._mos_new(params, ao_grad)
+        lmo_up, lmo_dn = self._mos_new(params, ao_lap)
+        ratio = self._ratio_terms(params, state, e, mo_up, mo_dn)
+        gratio = self._ratio_terms(params, state, e, gmo_up, gmo_dn)
+        lratio = self._ratio_terms(params, state, e, lmo_up, lmo_dn)
+        return gratio / ratio[:, None], lratio / ratio
+
+    def updateinternals(self, params, state, e, epos, mask, saved):
+        """Sherman-Morrison update after an accepted single-electron move."""
+        pred, row_up, row_dn = self._spin_row(e)
+
+        def upd(inv, phase, logdet, occ, mo_new, row):
+            nd, n = occ.shape
+            occf = jnp.asarray(occ.reshape(-1))
+            rows = mo_new[:, occf].reshape(mo_new.shape[0], nd, n)
+            ratio, inv_new = sherman_morrison_row(inv, rows, row)
+            absr = jnp.abs(ratio)
+            safe = jnp.where(absr == 0, 1.0, absr)
+            phase_new = phase * ratio / safe
+            logdet_new = logdet + jnp.log(safe)
+            return ratio, inv_new, phase_new, logdet_new
+
+        def up_branch(st):
+            _, inv_new, ph, ld = upd(
+                st.inv_up, st.phase_up, st.logdet_up,
+                self.expansion.occ_up, saved["mo_up"], row_up,
+            )
+            m = mask[:, None]
+            return st._replace(
+                inv_up=jnp.where(m[..., None, None], inv_new, st.inv_up),
+                phase_up=jnp.where(m, ph, st.phase_up),
+                logdet_up=jnp.where(m, ld, st.logdet_up),
+            )
+
+        def dn_branch(st):
+            _, inv_new, ph, ld = upd(
+                st.inv_dn, st.phase_dn, st.logdet_dn,
+                self.expansion.occ_dn, saved["mo_dn"], row_dn,
+            )
+            m = mask[:, None]
+            return st._replace(
+                inv_dn=jnp.where(m[..., None, None], inv_new, st.inv_dn),
+                phase_dn=jnp.where(m, ph, st.phase_dn),
+                logdet_dn=jnp.where(m, ld, st.logdet_dn),
+            )
+
+        if self.ndn == 0:
+            return up_branch(state)
+        if self.nup == 0:
+            return dn_branch(state)
+        return jax.lax.cond(pred, up_branch, dn_branch, state)
+
+    def pgradient(self, params, positions):
+        """d log|psi| / d params, per walker (pytree of (nconf, ...))."""
+
+        def single(pos):
+            def logabs(p):
+                st = self.recompute(p, pos[None])
+                _, la = self.value(p, st)
+                return la[0]
+
+            return jax.grad(logabs)(params)
+
+        return jax.vmap(single)(positions)

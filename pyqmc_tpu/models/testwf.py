@@ -1,0 +1,150 @@
+"""Wavefunction contract tests (port of pyqmc/wf/testwf.py:20-289).
+
+Any wavefunction implementing the protocol can be swept through these
+consistency checks; unit tests apply them to every model. All checks run in
+f64 on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+
+def _value(wf, params, state):
+    return wf.value(params, state)
+
+
+def test_updateinternals(wf, params, configs, key, tol=1e-9):
+    """Masked single-electron moves + SM updates must match full recompute.
+
+    cf. testwf.py:92-146.
+    """
+    pos = configs.positions
+    nconf, nelec = pos.shape[:2]
+    state = wf.recompute(params, pos)
+    errors = []
+    for e in range(nelec):
+        key, k1, k2 = jax.random.split(key, 3)
+        newpos = pos[:, e, :] + 0.3 * jax.random.normal(k1, (nconf, 3), dtype=pos.dtype)
+        newpos, wrap = configs.make_irreducible(newpos)
+        mask = jax.random.uniform(k2, (nconf,)) > 0.5
+        ratio, saved = wf.testvalue(params, state, jnp.int32(e), newpos)
+        state = wf.updateinternals(params, state, jnp.int32(e), newpos, mask, saved)
+        pos = pos.at[:, e, :].set(jnp.where(mask[:, None], newpos, pos[:, e, :]))
+        ph_u, la_u = _value(wf, params, state)
+        st_ref = wf.recompute(params, pos)
+        ph_r, la_r = _value(wf, params, st_ref)
+        errors.append(
+            (
+                float(jnp.max(jnp.abs(la_u - la_r))),
+                float(jnp.max(jnp.abs(ph_u - ph_r))),
+            )
+        )
+    err = np.max(np.asarray(errors))
+    assert err < tol, f"updateinternals mismatch: {errors}"
+    return err
+
+
+def test_testvalue(wf, params, configs, key, tol=1e-9):
+    """testvalue must equal the ratio of recomputed values (testwf.py:44-66)."""
+    pos = configs.positions
+    nconf, nelec = pos.shape[:2]
+    state = wf.recompute(params, pos)
+    ph0, la0 = _value(wf, params, state)
+    for e in [0, nelec - 1]:
+        key, k1 = jax.random.split(key)
+        newpos = pos[:, e, :] + 0.4 * jax.random.normal(k1, (nconf, 3), dtype=pos.dtype)
+        newpos, _ = configs.make_irreducible(newpos)
+        ratio, _ = wf.testvalue(params, state, jnp.int32(e), newpos)
+        pos2 = pos.at[:, e, :].set(newpos)
+        st2 = wf.recompute(params, pos2)
+        ph2, la2 = _value(wf, params, st2)
+        ratio_ref = (ph2 / ph0) * jnp.exp(la2 - la0)
+        err = float(jnp.max(jnp.abs(ratio - ratio_ref)))
+        assert err < tol * float(jnp.max(jnp.abs(ratio_ref)) + 1), (
+            f"testvalue mismatch e={e}: {err}"
+        )
+
+
+def test_gradient(wf, params, configs, key, delta=1e-5, tol=1e-5):
+    """grad log psi vs finite differences (testwf.py:149-185)."""
+    pos = configs.positions
+    nconf, nelec = pos.shape[:2]
+    state = wf.recompute(params, pos)
+    maxerr = 0.0
+    for e in [0, nelec - 1]:
+        epos = pos[:, e, :]
+        grad = wf.gradient(params, state, jnp.int32(e), epos)
+        for ax in range(3):
+            shift = jnp.zeros(3, dtype=pos.dtype).at[ax].set(delta)
+            rp, _ = wf.testvalue(params, state, jnp.int32(e), epos + shift)
+            rm, _ = wf.testvalue(params, state, jnp.int32(e), epos - shift)
+            # d/dx psi/psi = (r+ - r-) / (2 delta) at ratio ~ 1
+            fd = (rp - rm) / (2 * delta)
+            maxerr = max(maxerr, float(jnp.max(jnp.abs(grad[:, ax] - fd))))
+    assert maxerr < tol, f"gradient FD mismatch {maxerr}"
+    return maxerr
+
+
+def test_gradient_laplacian(wf, params, configs, key, delta=1e-4, tol=1e-4):
+    """lap psi/psi vs FD of testvalue (testwf.py:221+)."""
+    pos = configs.positions
+    nconf, nelec = pos.shape[:2]
+    state = wf.recompute(params, pos)
+    maxerr = 0.0
+    for e in [0, nelec - 1]:
+        epos = pos[:, e, :]
+        grad, lap = wf.gradient_laplacian(params, state, jnp.int32(e), epos)
+        gv, ratio, _ = wf.gradient_value(params, state, jnp.int32(e), epos)
+        maxerr = max(maxerr, float(jnp.max(jnp.abs(gv - grad))))
+        maxerr = max(maxerr, float(jnp.max(jnp.abs(ratio - 1.0))))
+        acc = -6.0 * jnp.ones(nconf, dtype=pos.dtype)
+        for ax in range(3):
+            shift = jnp.zeros(3, dtype=pos.dtype).at[ax].set(delta)
+            rp, _ = wf.testvalue(params, state, jnp.int32(e), epos + shift)
+            rm, _ = wf.testvalue(params, state, jnp.int32(e), epos - shift)
+            acc = acc + rp + rm
+        fd_lap = acc / delta**2
+        maxerr = max(maxerr, float(jnp.max(jnp.abs(lap - fd_lap))))
+    assert maxerr < tol, f"laplacian FD mismatch {maxerr}"
+    return maxerr
+
+
+def test_pgradient(wf, params, configs, key, delta=1e-6, tol=1e-5):
+    """d log|psi| / d params vs finite differences (testwf.py:188+)."""
+    pos = configs.positions
+    pgrad = wf.pgradient(params, pos)
+    flat_p, unravel = ravel_pytree(params)
+    flat_g, _ = ravel_pytree(
+        jax.tree.map(lambda g: jnp.sum(g, axis=0), pgrad)
+    )
+
+    def total_logabs(fp):
+        p = unravel(fp)
+        st = wf.recompute(p, pos)
+        _, la = _value(wf, p, st)
+        return jnp.sum(la)
+
+    # FD on a random subset of parameters; sweep deltas and take the best
+    # (the reference does the same, tests/unit/test_wf_derivatives.py:53-61:
+    # high curvature near nodes makes any single delta unreliable).
+    rng = np.random.default_rng(0)
+    idx = rng.choice(flat_p.shape[0], size=min(10, flat_p.shape[0]), replace=False)
+    maxerr = 0.0
+    for i in idx:
+        best = np.inf
+        for d in (1e-4, 1e-5, 1e-6, 1e-7):
+            fd = (total_logabs(flat_p.at[i].add(d)) - total_logabs(flat_p.at[i].add(-d))) / (2 * d)
+            best = min(best, float(jnp.abs(flat_g[i] - fd)))
+        maxerr = max(maxerr, best)
+    assert maxerr < tol, f"pgradient FD mismatch {maxerr}"
+    return maxerr
+
+
+def run_all(wf, params, configs, key, tols=()):
+    test_updateinternals(wf, params, configs, key)
+    test_testvalue(wf, params, configs, key)
+    test_gradient(wf, params, configs, key)
+    test_gradient_laplacian(wf, params, configs, key)
+    test_pgradient(wf, params, configs, key)
