@@ -1,0 +1,276 @@
+"""Fixed-node diffusion Monte Carlo with branching and population control.
+
+TPU-first redesign of pyqmc/method/dmc.py:
+
+  * the step loop (electron drift-diffusion sweeps with Umrigar-limited
+    drift + fixed-node sign rejection, weight updates, weighted accumulator
+    sums) compiles into one jit per block (cf. dmc.py:162-217);
+  * branching is a stochastic comb (systematic resampling) implemented in
+    pure XLA (sort-free cumsum + searchsorted) so it runs on-device
+    (dmc.py:342-376 ran on the driver over a gathered population);
+  * under a device mesh, each shard runs the comb over its local walkers
+    with the *globally* psum-normalized total weight, which keeps per-shard
+    populations fixed (no walker exchange needed) while preserving the
+    population-control statistics — the TPU equivalent of the reference's
+    gather -> comb -> scatter (dmc.py:238-304,566).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import Configs
+from .vmc import vmc as vmc_run
+
+
+def limdrift_umrigar(g, tau):
+    """Umrigar et al. drift limiting (dmc.py:22-35):
+    v -> v * (sqrt(1 + 2 v^2 tau) - 1) / (v^2 tau)."""
+    g = jnp.real(g)
+    v2 = jnp.sum(g * g, axis=-1, keepdims=True)
+    taueff = jnp.maximum(v2 * tau, 1e-12)
+    fac = (jnp.sqrt(1.0 + 2.0 * taueff) - 1.0) / taueff
+    return g * fac
+
+
+def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
+                   tdamp=1.0):
+    axis = mesh.axis_names[0] if mesh is not None else None
+    nelec = wf.nelec
+
+    def pglobal_mean(x, w=None):
+        """weighted global mean over walkers (and shards)."""
+        if w is None:
+            m = jnp.mean(x, axis=0)
+            return jax.lax.pmean(m, axis) if axis else m
+        num = jnp.sum(w * x, axis=0)
+        den = jnp.sum(w, axis=0)
+        if axis:
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
+        return num / den
+
+    def sweep(params, positions, wrap, state, stepkey):
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+
+        def ebody(e, carry):
+            positions, wrap, state, acc = carry
+            k1 = jax.random.fold_in(stepkey, 2 * e)
+            k2 = jax.random.fold_in(stepkey, 2 * e + 1)
+            epos = positions[:, e, :]
+            grad_old = wf.gradient(params, state, e, epos)
+            drift_old = limdrift_umrigar(grad_old, tstep)
+            gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
+            prop = epos + gauss + tstep * drift_old
+            newpos, wrapdelta = geometry.enforce(prop)
+            grad_new, ratio, saved = wf.gradient_value(params, state, e, newpos)
+            drift_new = limdrift_umrigar(grad_new, tstep)
+            forward = jnp.sum(gauss * gauss, axis=-1)
+            backward = jnp.sum(
+                (gauss + tstep * (drift_old + drift_new)) ** 2, axis=-1
+            )
+            t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
+            accept_prob = jnp.abs(ratio) ** 2 * t_prob
+            # fixed-node: reject node crossings (dmc.py:65-67)
+            if not jnp.iscomplexobj(ratio):
+                accept_prob = jnp.where(jnp.real(ratio) <= 0, 0.0, accept_prob)
+            accept = accept_prob > jax.random.uniform(k2, (nconf,))
+            state = wf.updateinternals(params, state, e, newpos, accept, saved)
+            positions = positions.at[:, e, :].set(
+                jnp.where(accept[:, None], newpos, epos)
+            )
+            wrap = wrap.at[:, e, :].set(
+                jnp.where(accept[:, None], wrap[:, e, :] + wrapdelta, wrap[:, e, :])
+            )
+            return positions, wrap, state, acc + jnp.mean(accept.astype(dtype))
+
+        return jax.lax.fori_loop(
+            0, nelec, ebody,
+            (positions, wrap, state, jnp.zeros((), dtype)),
+        )
+
+    def compute_S(e_trial, e_est, esigma, eloc):
+        """Saturated branching exponent (dmc.py:224-235 semantics)."""
+        cutoff = esigma * jnp.sqrt(2.0 / tstep)
+        eclip = e_est + jnp.clip(eloc - e_est, -cutoff, cutoff)
+        return e_trial - eclip
+
+    def block(params, positions, wrap, weights, key, e_trial, e_est, esigma):
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        state = wf.recompute(params, positions)
+        eloc0 = energy_acc(wf, params, state, positions)["total"]
+        S_old = compute_S(e_trial, e_est, esigma, eloc0)
+
+        def step_fn(carry, stepkey):
+            positions, wrap, state, weights, S_old = carry
+            positions, wrap, state, acc = sweep(
+                params, positions, wrap, state, stepkey
+            )
+            edat = energy_acc(wf, params, state, positions)
+            S_new = compute_S(e_trial, e_est, esigma, edat["total"])
+            weights = weights * jnp.exp(tstep * tdamp * 0.5 * (S_new + S_old))
+            out = {"acceptance": acc / nelec}
+            for k, v in edat.items():
+                out[f"energy{k}"] = pglobal_mean(v, weights)
+            out["weight"] = (
+                jax.lax.pmean(jnp.mean(weights), axis) if axis else jnp.mean(weights)
+            )
+            return (positions, wrap, state, weights, S_new), out
+
+        keys = jax.random.split(key, nsteps)
+        (positions, wrap, state, weights, _), outs = jax.lax.scan(
+            step_fn, (positions, wrap, state, weights, S_old), keys
+        )
+        avg = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+        if axis is not None:
+            avg = jax.tree.map(lambda x: jax.lax.pmean(x, axis), avg)
+        return positions, wrap, weights, avg
+
+    def branch(positions, wrap, weights, key):
+        """Stochastic comb resampling (dmc.py:342-376), on-device."""
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        nconf = weights.shape[0]
+        wtot_local = jnp.sum(weights)
+        cum = jnp.cumsum(weights)
+        base = jax.random.uniform(key, ()) * (wtot_local / nconf)
+        pts = base + jnp.arange(nconf) * (wtot_local / nconf)
+        idx = jnp.searchsorted(cum, pts)
+        idx = jnp.clip(idx, 0, nconf - 1)
+        new_positions = positions[idx]
+        new_wrap = wrap[idx]
+        wmean = jnp.mean(weights)
+        if axis is not None:
+            wmean = jax.lax.pmean(wmean, axis)
+        new_weights = jnp.full_like(weights, wmean)
+        return new_positions, new_wrap, new_weights
+
+    if mesh is None:
+        return jax.jit(block), jax.jit(branch)
+
+    from jax.sharding import PartitionSpec as P
+
+    pw = P(axis)
+    block_s = jax.jit(
+        jax.shard_map(
+            block, mesh=mesh,
+            in_specs=(P(), pw, pw, pw, P(), P(), P(), P()),
+            out_specs=(pw, pw, pw, P()),
+            check_vma=False,
+        )
+    )
+    branch_s = jax.jit(
+        jax.shard_map(
+            branch, mesh=mesh,
+            in_specs=(pw, pw, pw, P()),
+            out_specs=(pw, pw, pw),
+            check_vma=False,
+        )
+    )
+    return block_s, branch_s
+
+
+def rundmc(
+    wf,
+    params,
+    configs: Configs,
+    nblocks: int = 100,
+    nsteps_per_block: int = 10,
+    tstep: float = 0.02,
+    accumulators: Optional[dict] = None,
+    energy_acc=None,
+    key=None,
+    hdf_file: Optional[str] = None,
+    verbose: bool = False,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    feedback: float = 1.0,
+    warmup_vmc_blocks: int = 5,
+    branchtime: int = 1,
+    ewin: int = 25,
+):
+    """Run DMC (cf. rundmc dmc.py:413-591); returns (block dicts, configs, weights)."""
+    if key is None:
+        key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
+    if energy_acc is None:
+        from ..observables.accumulators import EnergyAccumulator
+
+        raise ValueError("energy_acc (EnergyAccumulator) is required")
+
+    # VMC warmup + e_trial estimation (dmc.py:500-517)
+    key, wkey = jax.random.split(key)
+    wdata, configs = vmc_run(
+        wf, params, configs, nblocks=warmup_vmc_blocks, nsteps_per_block=10,
+        tstep=0.5, accumulators={"energy": energy_acc}, key=wkey, mesh=mesh,
+    )
+    state = wf.recompute(params, configs.positions)
+    eloc = np.asarray(energy_acc(wf, params, state, configs.positions)["total"])
+    e_est = float(np.mean(eloc))
+    esigma = float(np.std(eloc))
+    e_trial = e_est
+
+    positions, wrap = configs.positions, configs.wrap
+    dtype = positions.dtype
+    weights = jnp.ones(positions.shape[0], dtype=dtype)
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+        positions = jax.device_put(positions, sh)
+        wrap = jax.device_put(wrap, sh)
+        weights = jax.device_put(weights, sh)
+
+    block_fn, branch_fn = make_dmc_block(
+        wf, energy_acc, configs.geometry, tstep, nsteps_per_block, mesh=mesh
+    )
+
+    block_data = []
+    ehist = []
+    for b in range(nblocks):
+        key, bkey, brkey = jax.random.split(key, 3)
+        positions, wrap, weights, avg = block_fn(
+            params, positions, wrap, weights,
+            bkey, jnp.asarray(e_trial, dtype), jnp.asarray(e_est, dtype),
+            jnp.asarray(esigma, dtype),
+        )
+        avg = jax.tree.map(lambda x: np.asarray(x), avg)
+        wavg = float(avg["weight"])
+        ehist.append(float(avg["energytotal"]))
+        e_est = float(np.mean(ehist[-ewin:]))
+        e_trial = e_est - feedback * np.log(max(wavg, 1e-12))
+        avg["e_trial"] = e_trial
+        avg["e_est"] = e_est
+        avg["block"] = b
+        block_data.append(avg)
+        if (b + 1) % branchtime == 0:
+            positions, wrap, weights = branch_fn(positions, wrap, weights, brkey)
+        if verbose and b % 10 == 0:
+            print(
+                f"dmc block {b}: E={avg['energytotal']:.6f} "
+                f"w={wavg:.4f} e_trial={e_trial:.6f}", flush=True
+            )
+        if hdf_file is not None:
+            import h5py
+            from .hdftools import append_hdf
+
+            with h5py.File(hdf_file, "a") as f:
+                append_hdf(f, avg)
+                grp = f.require_group("configs")
+                Configs.create(
+                    jax.device_get(positions), configs.geometry,
+                    wrap=jax.device_get(wrap),
+                ).to_hdf(grp)
+                if "weights" in f:
+                    f["weights"][...] = np.asarray(jax.device_get(weights))
+                else:
+                    f.create_dataset("weights", data=np.asarray(jax.device_get(weights)))
+
+    final = Configs.create(
+        jax.device_get(positions), configs.geometry, wrap=jax.device_get(wrap)
+    )
+    return block_data, final, np.asarray(jax.device_get(weights))

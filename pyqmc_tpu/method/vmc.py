@@ -1,0 +1,204 @@
+"""Variational Monte Carlo driver.
+
+TPU-first redesign of pyqmc/method/mc.py:76-274:
+
+  * the whole block — electron sweeps (lax.fori_loop), Metropolis-Hastings
+    with drift, Sherman-Morrison updates, accumulator sweeps (lax.scan over
+    steps) — is ONE jit-compiled function; the Python level only loops over
+    blocks and appends checkpoints (design delta #2 in SURVEY.md section 7.1);
+  * walker parallelism is jax.sharding over a device mesh: walker arrays are
+    sharded on the 'walkers' axis, and the per-block means become XLA
+    collectives over ICI — replacing the reference's futures scatter/gather
+    (mc.py:156-173);
+  * randomness is counter-based jax.random, folded per (block, step,
+    electron) — no global RNG state.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import Configs
+
+
+def limdrift(g, cutoff=1.0):
+    """Cap the drift vector norm (mc.py:76-89)."""
+    g = jnp.real(g)
+    tot = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+    return jnp.where(tot > cutoff, g * (cutoff / tot), g)
+
+
+def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
+                   drift_cutoff=1.0, mesh=None):
+    """Build the jitted per-block VMC kernel.
+
+    Returns block(params, positions, wrap, key) ->
+      (positions, wrap, averages dict, acceptance).
+
+    With `mesh`, the kernel is wrapped in shard_map over the mesh's first
+    axis: walker arrays are sharded, per-block averages are psum-reduced over
+    ICI, and the RNG key is folded with the shard index so each shard draws
+    independent streams. This replaces the reference's futures scatter/gather
+    (mc.py:156-173) with single-controller SPMD.
+    """
+    nelec = wf.nelec
+    accumulators = accumulators or {}
+    axis = mesh.axis_names[0] if mesh is not None else None
+
+    def sweep(params, positions, wrap, state, stepkey):
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+
+        def ebody(e, carry):
+            positions, wrap, state, acc = carry
+            k1 = jax.random.fold_in(stepkey, 2 * e)
+            k2 = jax.random.fold_in(stepkey, 2 * e + 1)
+            epos = positions[:, e, :]
+            grad_old = wf.gradient(params, state, e, epos)
+            drift_old = limdrift(grad_old, drift_cutoff)
+            gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
+            prop = epos + gauss + tstep * drift_old
+            newpos, wrapdelta = geometry.enforce(prop)
+            grad_new, ratio, saved = wf.gradient_value(params, state, e, newpos)
+            drift_new = limdrift(grad_new, drift_cutoff)
+            forward = jnp.sum(gauss * gauss, axis=-1)
+            backward = jnp.sum(
+                (gauss + tstep * (drift_old + drift_new)) ** 2, axis=-1
+            )
+            t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
+            accept_prob = jnp.abs(ratio) ** 2 * t_prob
+            accept = accept_prob > jax.random.uniform(k2, (nconf,))
+            state = wf.updateinternals(params, state, e, newpos, accept, saved)
+            positions = positions.at[:, e, :].set(
+                jnp.where(accept[:, None], newpos, epos)
+            )
+            wrap = wrap.at[:, e, :].set(
+                jnp.where(accept[:, None], wrap[:, e, :] + wrapdelta, wrap[:, e, :])
+            )
+            acc = acc + jnp.mean(accept.astype(dtype))
+            return positions, wrap, state, acc
+
+        return jax.lax.fori_loop(
+            0, nelec, ebody, (positions, wrap, state, jnp.zeros((), dtype))
+        )
+
+    def block(params, positions, wrap, key):
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        state = wf.recompute(params, positions)
+
+        def step_fn(carry, stepkey):
+            positions, wrap, state = carry
+            positions, wrap, state, acc = sweep(params, positions, wrap, state, stepkey)
+            out = {"acceptance": acc / nelec}
+            for name, a in accumulators.items():
+                for k, v in a.avg(wf, params, state, positions).items():
+                    out[f"{name}{k}"] = v
+            return (positions, wrap, state), out
+
+        keys = jax.random.split(key, nsteps)
+        (positions, wrap, state), outs = jax.lax.scan(
+            step_fn, (positions, wrap, state), keys
+        )
+        avg = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+        if axis is not None:
+            # equal shard sizes -> global mean = pmean of local means
+            avg = jax.lax.pmean(avg, axis)
+        return positions, wrap, avg
+
+    if mesh is None:
+        return jax.jit(block)
+
+    from jax.sharding import PartitionSpec as P
+
+    pw = P(axis)
+    return jax.jit(
+        jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(P(), pw, pw, P()),
+            out_specs=(pw, pw, P()),
+            check_vma=False,
+        )
+    )
+
+
+def vmc(
+    wf,
+    params,
+    configs: Configs,
+    nblocks: int = 10,
+    nsteps_per_block: int = 10,
+    tstep: float = 0.5,
+    accumulators: Optional[dict] = None,
+    key=None,
+    hdf_file: Optional[str] = None,
+    verbose: bool = False,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    continue_from_block: int = 0,
+    block_fn=None,
+):
+    """Run VMC; returns (list of block dicts, final Configs).
+
+    With `mesh`, walker arrays are sharded over the mesh's first axis and all
+    block averages are computed as XLA collectives (single controller).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
+    if block_fn is None:
+        block_fn = make_vmc_block(
+            wf, accumulators, configs.geometry, tstep=tstep,
+            nsteps=nsteps_per_block, mesh=mesh,
+        )
+    positions, wrap = configs.positions, configs.wrap
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        if positions.shape[0] % mesh.devices.size != 0:
+            raise ValueError(
+                f"nconf {positions.shape[0]} must divide evenly over "
+                f"{mesh.devices.size} devices"
+            )
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+        positions = jax.device_put(positions, sh)
+        wrap = jax.device_put(wrap, sh)
+
+    if hdf_file is not None:
+        import h5py
+
+    block_data = []
+    for b in range(continue_from_block, continue_from_block + nblocks):
+        t0 = time.perf_counter()
+        key, bkey = jax.random.split(key)
+        positions, wrap, avg = block_fn(params, positions, wrap, bkey)
+        avg = jax.tree.map(lambda x: np.asarray(x), avg)
+        avg["block"] = b
+        avg["block time"] = time.perf_counter() - t0
+        block_data.append(avg)
+        if verbose:
+            tot = avg.get("energytotal", None)
+            print(
+                f"block {b}: acc={float(avg['acceptance']):.3f}"
+                + (f" E={float(tot):.6f}" if tot is not None else ""),
+                flush=True,
+            )
+        if hdf_file is not None:
+            with h5py.File(hdf_file, "a") as f:
+                from .hdftools import append_hdf
+
+                append_hdf(f, avg)
+                cfg_grp = f.require_group("configs")
+                final = Configs.create(
+                    jax.device_get(positions), configs.geometry,
+                    wrap=jax.device_get(wrap),
+                )
+                final.to_hdf(cfg_grp)
+
+    final = Configs.create(
+        jax.device_get(positions), configs.geometry, wrap=jax.device_get(wrap)
+    )
+    return block_data, final

@@ -17,7 +17,12 @@ def slogdet_inv(a):
     phase is +-1 for real dtypes, unit-modulus complex for complex dtypes.
     """
     phase, logabs = jnp.linalg.slogdet(a)
-    inv = jnp.linalg.inv(a)
+    # jnp.linalg.inv broadcasts an unbatched identity, which breaks under
+    # walker-axis sharding ("inconsistent axis specs"); solve against an
+    # explicitly batched identity instead.
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    inv = jnp.linalg.solve(a, eye) if n > 0 else jnp.zeros_like(a)
     return phase, logabs, inv
 
 
