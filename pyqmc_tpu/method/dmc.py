@@ -105,7 +105,8 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
         if axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         state = wf.recompute(params, positions)
-        eloc0 = energy_acc(wf, params, state, positions)["total"]
+        eloc0 = energy_acc(wf, params, state, positions,
+                   key=jax.random.fold_in(key, 999))["total"]
         S_old = compute_S(e_trial, e_est, esigma, eloc0)
 
         def step_fn(carry, stepkey):
@@ -113,7 +114,8 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             positions, wrap, state, acc = sweep(
                 params, positions, wrap, state, stepkey
             )
-            edat = energy_acc(wf, params, state, positions)
+            edat = energy_acc(wf, params, state, positions,
+                              key=jax.random.fold_in(stepkey, 7000))
             S_new = compute_S(e_trial, e_est, esigma, edat["total"])
             weights = weights * jnp.exp(tstep * tdamp * 0.5 * (S_new + S_old))
             out = {"acceptance": acc / nelec}
@@ -210,7 +212,8 @@ def rundmc(
         tstep=0.5, accumulators={"energy": energy_acc}, key=wkey, mesh=mesh,
     )
     state = wf.recompute(params, configs.positions)
-    eloc = np.asarray(energy_acc(wf, params, state, configs.positions)["total"])
+    eloc = np.asarray(energy_acc(wf, params, state, configs.positions,
+                                 key=jax.random.PRNGKey(99))["total"])
     e_est = float(np.mean(eloc))
     esigma = float(np.std(eloc))
     e_trial = e_est

@@ -96,8 +96,9 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
             positions, wrap, state = carry
             positions, wrap, state, acc = sweep(params, positions, wrap, state, stepkey)
             out = {"acceptance": acc / nelec}
-            for name, a in accumulators.items():
-                for k, v in a.avg(wf, params, state, positions).items():
+            for i, (name, a) in enumerate(accumulators.items()):
+                akey = jax.random.fold_in(stepkey, 7000 + i)
+                for k, v in a.avg(wf, params, state, positions, key=akey).items():
                     out[f"{name}{k}"] = v
             return (positions, wrap, state), out
 

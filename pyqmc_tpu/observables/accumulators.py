@@ -5,6 +5,7 @@ acc.avg(...) -> dict of means over walkers (psum-reduced automatically when
 run under a sharded jit). Everything is jit-compatible.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .energy import OpenCoulomb, kinetic_energy
@@ -26,19 +27,21 @@ class EnergyAccumulator:
             self.coulomb = OpenCoulomb(mol)
         self.ecp_acc = ecp_acc
 
-    def __call__(self, wf, params, state, positions):
+    def __call__(self, wf, params, state, positions, key=None):
         ke, grad2 = kinetic_energy(wf, params, state, positions)
         ee, ei, ii = self.coulomb.energy(positions)
         out = {"ke": ke, "ee": ee, "ei": ei, "ii": ii, "grad2": grad2}
         if self.ecp_acc is not None:
-            out["ecp"] = self.ecp_acc(wf, params, state, positions)
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            out["ecp"] = self.ecp_acc(wf, params, state, positions, key)
         else:
             out["ecp"] = jnp.zeros_like(ke)
         out["total"] = ke + ee + ei + ii + out["ecp"]
         return out
 
-    def avg(self, wf, params, state, positions):
-        dat = self(wf, params, state, positions)
+    def avg(self, wf, params, state, positions, key=None):
+        dat = self(wf, params, state, positions, key=key)
         return {k: jnp.mean(v, axis=0) for k, v in dat.items()}
 
     def keys(self):

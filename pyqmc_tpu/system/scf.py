@@ -80,6 +80,10 @@ def run_scf(
     S, T = integrals.overlap_kinetic(mol)
     V = integrals.nuclear(mol)
     H = T + V
+    if getattr(mol, "ecp", None):
+        from .ecp_integrals import ecp_matrix
+
+        H = H + ecp_matrix(mol)
     ERI = integrals.eri(mol)
     enuc = mol.nuclear_repulsion()
     nup, ndn = mol.nelec

@@ -1,0 +1,115 @@
+"""ECP quadrature: analytic projector identities + rotation invariance
+(cf. reference tests/unit/test_ecp_rotation.py:22)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyqmc_tpu.system.mole import Molecule
+from pyqmc_tpu.models.slater import Slater, DeterminantExpansion
+from pyqmc_tpu.observables.ecp import (
+    ECPAccumulator,
+    octahedral_grid,
+    legendre,
+    random_rotations,
+)
+
+
+def test_quadrature_exactness():
+    """Grids must integrate P_l(cos gamma) exactly: sum_q w_q P_l(a.q) = 0
+    for 1 <= l <= order, any direction a, and sum w = 1."""
+    rng = np.random.default_rng(0)
+    for naip, lmax in [(6, 3), (18, 5), (26, 7)]:
+        pts, w = octahedral_grid(naip)
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+        for _ in range(5):
+            a = rng.normal(size=3)
+            a /= np.linalg.norm(a)
+            for l in range(1, min(lmax, 3) + 1):
+                val = np.sum(w * np.asarray(legendre(l, jnp.asarray(pts @ a))))
+                assert abs(val) < 1e-12, (naip, l, val)
+
+
+def test_rotations_are_orthogonal():
+    R = np.asarray(random_rotations(jax.random.PRNGKey(0), (100,)))
+    eye = np.einsum("cij,ckj->cik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (100, 1, 1)), atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+
+
+def _one_electron_wf(mol, orbital_col):
+    """Slater with one up electron occupying a chosen orbital column."""
+    nao = mol.nao
+    C = np.zeros((nao, 1))
+    C[orbital_col, 0] = 1.0
+    exp = DeterminantExpansion.single(1, 0)
+    return Slater(mol, None, exp, (C, np.zeros((nao, 0))))
+
+
+@pytest.fixture(scope="module")
+def fake_ecp_mol():
+    # one "Li"-like atom with a pure l=1 nonlocal channel of known form
+    ecp = {
+        "Li": [2, [
+            [-1, [[], [], [[1.0, 0.7]], [], [], [], []]],   # local: 0.7 e^{-r^2}
+            [1, [[], [], [[0.5, 2.0]], [], [], [], []]],    # v_1 = 2 e^{-r^2/2}
+        ]]
+    }
+    basis = {"Li": [[0, [0.5, 1.0]], [1, [0.4, 1.0]]]}
+    return Molecule("Li 0 0 0", basis=basis, ecp=ecp, spin=1)
+
+
+def test_projector_p_state(fake_ecp_mol):
+    """For a pure p_z electron, (2l+1) * projection = 1 => ecp_nl = v_1(r)."""
+    mol = fake_ecp_mol
+    wf = _one_electron_wf(mol, orbital_col=3)  # p_z AO (s, px, py, pz)
+    params = wf.make_params()
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.normal(scale=1.0, size=(30, 1, 3)))
+    state = wf.recompute(params, pos)
+    acc = ECPAccumulator(mol, naip=6)
+    val = acc(wf, params, state, pos, jax.random.PRNGKey(2))
+    r = np.linalg.norm(np.asarray(pos)[:, 0, :], axis=-1)
+    v_local = 0.7 * np.exp(-1.0 * r**2)
+    v1 = 2.0 * np.exp(-0.5 * r**2)
+    np.testing.assert_allclose(np.asarray(val), v_local + v1, rtol=1e-10)
+
+
+def test_projector_s_state(fake_ecp_mol):
+    """For a pure s electron the l=1 projector integrates to zero."""
+    mol = fake_ecp_mol
+    wf = _one_electron_wf(mol, orbital_col=0)
+    params = wf.make_params()
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.normal(scale=1.0, size=(30, 1, 3)))
+    state = wf.recompute(params, pos)
+    acc = ECPAccumulator(mol, naip=6)
+    val = acc(wf, params, state, pos, jax.random.PRNGKey(4))
+    r = np.linalg.norm(np.asarray(pos)[:, 0, :], axis=-1)
+    v_local = 0.7 * np.exp(-1.0 * r**2)
+    np.testing.assert_allclose(np.asarray(val), v_local, atol=1e-10)
+
+
+def test_rotation_invariance(fake_ecp_mol):
+    """Different random rotations must give identical results for states the
+    grid integrates exactly (test_ecp_rotation.py:22 criterion)."""
+    mol = fake_ecp_mol
+    wf = _one_electron_wf(mol, orbital_col=2)  # p_y
+    params = wf.make_params()
+    pos = jnp.asarray(np.random.default_rng(5).normal(size=(10, 1, 3)))
+    state = wf.recompute(params, pos)
+    acc = ECPAccumulator(mol, naip=6)
+    v1 = acc(wf, params, state, pos, jax.random.PRNGKey(10))
+    v2 = acc(wf, params, state, pos, jax.random.PRNGKey(20))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-9)
+
+
+def test_ccecp_li_parses():
+    mol = Molecule("Li 0 0 0", basis="ccecpccpvdz", ecp="ccecp", spin=1)
+    assert mol.nelec == (1, 0)  # 2 core electrons removed
+    assert mol.atom_charges[0] == 1
+    acc = ECPAccumulator(mol, naip=12 if False else 6)
+    assert acc.active
+    # local channel contains the +Zeff/r * e^{-ar^2} counterterm (power 1)
+    assert 1 in acc.atoms[0].local.powers
