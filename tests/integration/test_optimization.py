@@ -1,0 +1,76 @@
+"""SR + line minimization: optimizing a Jastrow must lower the He energy
+substantially below HF (mirrors reference linemin usage)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyqmc_tpu.system.mole import Molecule
+from pyqmc_tpu.system.scf import run_scf
+from pyqmc_tpu.models.slater import Slater
+from pyqmc_tpu.models.jastrow import JastrowSpin
+from pyqmc_tpu.models.multiply import MultiplyWF
+from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+from pyqmc_tpu.observables.transform import LinearTransform
+from pyqmc_tpu.method.linemin import line_minimization
+from pyqmc_tpu.method.vmc import vmc
+from pyqmc_tpu.configs import initial_guess
+
+
+def test_transform_roundtrip():
+    params = {
+        "a": jnp.arange(6.0).reshape(2, 3),
+        "b": jnp.asarray([1.0, 2.0]),
+    }
+    to_opt = {"a": np.array([[True, False, True], [False, True, False]]), "b": False}
+    lt = LinearTransform(params, to_opt)
+    assert lt.nparams == 3
+    flat = lt.serialize(params)
+    np.testing.assert_allclose(flat, [0.0, 2.0, 4.0])
+    p2 = lt.deserialize(params, flat + 10.0)
+    np.testing.assert_allclose(p2["a"], [[10.0, 1.0, 12.0], [3.0, 14.0, 5.0]])
+    np.testing.assert_allclose(p2["b"], [1.0, 2.0])
+
+
+@pytest.mark.slow
+def test_optimize_he_jastrow():
+    mol = Molecule("He 0 0 0", basis="sto-3g")
+    mf = run_scf(mol)
+    slater = Slater.from_mean_field(mf)
+    jastrow = JastrowSpin(mol)
+    wf = MultiplyWF(slater, jastrow)
+    params = wf.make_params()
+    # optimize only the Jastrow coefficients; keep the e-e cusp row fixed
+    bmask = np.ones((len(jastrow.b_basis), 3), dtype=bool)
+    bmask[0] = False
+    to_opt = {
+        "wf0": {"det_coeff": False, "mo_coeff_alpha": False, "mo_coeff_beta": False},
+        "wf1": {"acoeff": True, "bcoeff": bmask},
+    }
+    lt = LinearTransform(params, to_opt)
+    acc = EnergyAccumulator(mol)
+    configs = initial_guess(mol, 500, key=jax.random.PRNGKey(0))
+    # equilibrate
+    _, configs = vmc(
+        wf, params, configs, nblocks=4, nsteps_per_block=10,
+        key=jax.random.PRNGKey(1),
+    )
+    params_opt, configs, records = line_minimization(
+        wf, params, configs, lt, acc, key=jax.random.PRNGKey(2),
+        max_iterations=10, vmc_blocks=6, vmc_steps_per_block=10,
+    )
+    # clean VMC with the optimized parameters: He HF(STO-3G) = -2.8078,
+    # exact = -2.9037; an optimized 2-body Jastrow should land in between,
+    # well below HF and not below exact
+    data, configs = vmc(
+        wf, params_opt, configs, nblocks=20, nsteps_per_block=10,
+        accumulators={"energy": acc}, key=jax.random.PRNGKey(3),
+    )
+    en = np.array([d["energytotal"] for d in data[5:]])
+    e_end = en.mean()
+    sem = en.std(ddof=1) / np.sqrt(len(en))
+    assert e_end < mf.e_tot - 0.02, (e_end, mf.e_tot, sem)
+    assert e_end > -2.9037 - 5 * sem - 0.01, (e_end, sem)
+    # parameters actually moved
+    assert float(jnp.sum(jnp.abs(lt.serialize(params_opt)))) > 1e-3
