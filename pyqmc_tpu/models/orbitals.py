@@ -1,0 +1,200 @@
+"""Orbital evaluators: molecular and periodic k-point.
+
+Counterpart of pyqmc/wf/orbitals.py (MoleculeOrbitalEvaluator :54-100,
+PBCOrbitalEvaluatorKpoints :118-255), redesigned for XLA:
+
+  * molecular: AO batch (one fused GTO kernel) -> one MXU matmul per spin;
+  * periodic: AOs are evaluated per lattice image with shifted centers and
+    contracted against the (nimg, nk) Bloch phase matrix in a single complex
+    einsum (an MXU matmul), instead of the reference's per-image numba loops
+    (wf/numba/pbcgto.py:594-653);
+  * wrap phases: instead of threading integer wrap counters through the
+    whole sampler (coord.py:45-52, orbitals.py:204-213), the evaluator folds
+    raw positions into the cell internally and applies e^{i k.(w A)} on the
+    fly. Samplers may keep walker positions unfolded within a block; they
+    refold at block boundaries where the state is recomputed anyway.
+
+The evaluator owns the mo_coeff parameter layout; Slater is generic over it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.gto import GTOSpec, eval_gto
+
+
+class MolecularOrbitals:
+    """Open-boundary orbitals: mo = ao @ C per spin."""
+
+    def __init__(self, mol, mo_coeff: Tuple[np.ndarray, np.ndarray]):
+        self.spec = GTOSpec.from_molecule(mol)
+        self._ca = np.asarray(mo_coeff[0])
+        self._cb = np.asarray(mo_coeff[1])
+        self.norb = (self._ca.shape[1], self._cb.shape[1])
+
+    def make_params(self):
+        return {
+            "mo_coeff_alpha": jnp.asarray(self._ca),
+            "mo_coeff_beta": jnp.asarray(self._cb),
+        }
+
+    def eval(self, params, X, mode: int):
+        """X (..., 3) -> per-spin MO arrays.
+
+        mode 0: (mo_up, mo_dn); mode 1: adds (gmo_up, gmo_dn) with a leading
+        3-axis before the orbital axis; mode 2: adds laplacian MOs.
+        """
+        ca, cb = params["mo_coeff_alpha"], params["mo_coeff_beta"]
+        if mode == 0:
+            ao = eval_gto(self.spec, X, 0)
+            return (ao @ ca, ao @ cb)
+        if mode == 1:
+            ao, aog = eval_gto(self.spec, X, 1)
+            return (ao @ ca, ao @ cb, aog @ ca, aog @ cb)
+        ao, aog, aol = eval_gto(self.spec, X, 2)
+        return (ao @ ca, ao @ cb, aog @ ca, aog @ cb, aol @ ca, aol @ cb)
+
+
+def select_pbc_images(lattice, shells, atom_coords, tol=1e-6, ngrid=6):
+    """Static lattice image set for the AO sum.
+
+    Keep image L iff some atom translated by L has a basis function reaching
+    into the home cell: min distance from R_a + L to the cell region < rcut,
+    with rcut from the most diffuse exponent (orbitals.py:258-278). The cell
+    region is sampled on an ngrid^3 fractional grid (margin = sample
+    diagonal), correct for arbitrary (skewed) lattices.
+    """
+    amin = min(float(np.min(s.exps)) for s in shells)
+    rcut = np.sqrt(-np.log(tol) / amin)
+    fr = (np.arange(ngrid) + 0.5) / ngrid
+    grid = (
+        np.array(np.meshgrid(fr, fr, fr, indexing="ij")).reshape(3, -1).T @ lattice
+    )
+    margin = 0.5 * np.linalg.norm(lattice.sum(axis=0)) / ngrid
+    inv = np.linalg.inv(lattice)
+    heights = 1.0 / np.linalg.norm(inv, axis=0)
+    diam = np.linalg.norm(lattice.sum(axis=0))
+    nimg = np.maximum(1, np.ceil((rcut + diam) / heights).astype(int))
+    rngs = [np.arange(-n, n + 1) for n in nimg]
+    pts = np.array(np.meshgrid(*rngs, indexing="ij")).reshape(3, -1).T
+    imgs = pts @ lattice
+    atoms = np.asarray(atom_coords)
+    # (nimg, natom, ngrid^3) distances
+    d = np.linalg.norm(
+        imgs[:, None, None, :] + atoms[None, :, None, :] - grid[None, None, :, :],
+        axis=-1,
+    )
+    keep = d.min(axis=(1, 2)) <= rcut + margin
+    return imgs[keep]
+
+
+class KPointOrbitals:
+    """Periodic k-point orbitals.
+
+    mo_coeff: per spin, a list over k-points of (nao, nocc_k) complex
+    arrays (only the orbitals used by the wavefunction). The flattened
+    orbital order is k-major: [k0 orb0, k0 orb1, ..., k1 orb0, ...]
+    (param_split semantics of orbitals.py:221-239).
+    """
+
+    def __init__(self, cell, kpts, mo_coeff, images=None, img_tol=1e-6):
+        self.spec = GTOSpec.from_molecule(cell)
+        self.lattice = np.asarray(cell.lattice, dtype=np.float64)
+        self.lattice_inv = np.linalg.inv(self.lattice)
+        self.kpts = np.asarray(kpts, dtype=np.float64).reshape(-1, 3)
+        self.images = (
+            np.asarray(images)
+            if images is not None
+            else select_pbc_images(
+                self.lattice, cell.shells, cell.atom_coords, img_tol
+            )
+        )
+        # phases e^{i k.L}: (nimg, nk)
+        self.img_phases = np.exp(1j * self.images @ self.kpts.T)
+        self._mo = []
+        for spin in range(2):
+            blocks = [np.asarray(c) for c in mo_coeff[spin]]
+            self._mo.append(blocks)
+        self.norb = tuple(
+            sum(b.shape[1] for b in self._mo[s]) for s in range(2)
+        )
+        self.nk = len(self.kpts)
+
+    def make_params(self):
+        return {
+            "mo_coeff_alpha": [jnp.asarray(b) for b in self._mo[0]],
+            "mo_coeff_beta": [jnp.asarray(b) for b in self._mo[1]],
+        }
+
+    def _fold(self, X):
+        """Fold raw positions; returns (Xfold, wrapphase (..., nk) complex)."""
+        frac = X @ jnp.asarray(self.lattice_inv, X.dtype)
+        wrap = jnp.floor(frac)
+        Xf = (frac - wrap) @ jnp.asarray(self.lattice, X.dtype)
+        # true position = Xf + wrap @ lattice; psi_k(true) = e^{i k.(wrap A)} psi_k(folded)
+        wrapcart = wrap @ jnp.asarray(self.lattice, X.dtype)
+        phase = jnp.exp(1j * (wrapcart @ jnp.asarray(self.kpts.T, X.dtype)))
+        return Xf, phase
+
+    def _kaos(self, X, mode: int):
+        """Complex k-AOs phi^k_mu at folded X: returns tuple of arrays
+        (..., nk, nao) [, (..., 3, nk, nao), (..., nk, nao)]."""
+        Xf, wphase = self._fold(X)
+        per_img = []
+        for L in self.images:
+            # chi_mu(r - R_mu - L): centers shifted by +L
+            per_img.append(eval_gto(self.spec, Xf, mode, shift=jnp.asarray(L, X.dtype)))
+        ph = jnp.asarray(self.img_phases)  # (nimg, nk)
+        if mode == 0:
+            stack = jnp.stack(per_img, axis=-2)  # (..., nimg, nao)
+            ao_k = jnp.einsum("...ia,ik->...ka", stack, ph)
+            return (ao_k * wphase[..., :, None],)
+        vals = jnp.stack([p[0] for p in per_img], axis=-2)
+        grads = jnp.stack([p[1] for p in per_img], axis=-3)  # (..., nimg?, 3, nao)? see below
+        ao_k = jnp.einsum("...ia,ik->...ka", vals, ph) * wphase[..., :, None]
+        g_k = jnp.einsum("...ixa,ik->...xka", grads, ph) * wphase[..., None, :, None]
+        if mode == 1:
+            return ao_k, g_k
+        laps = jnp.stack([p[2] for p in per_img], axis=-2)
+        l_k = jnp.einsum("...ia,ik->...ka", laps, ph) * wphase[..., :, None]
+        return ao_k, g_k, l_k
+
+    def _mos_from_kaos(self, params, ao_k, spin):
+        """(..., nk, nao) -> (..., norb_s) concatenated over k."""
+        blocks = params["mo_coeff_alpha" if spin == 0 else "mo_coeff_beta"]
+        outs = [
+            ao_k[..., k, :] @ blocks[k] for k in range(self.nk)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+    def eval(self, params, X, mode: int):
+        kaos = self._kaos(X, mode)
+        if mode == 0:
+            (a,) = kaos
+            return (
+                self._mos_from_kaos(params, a, 0),
+                self._mos_from_kaos(params, a, 1),
+            )
+        if mode == 1:
+            a, g = kaos
+            return (
+                self._mos_from_kaos(params, a, 0),
+                self._mos_from_kaos(params, a, 1),
+                self._mos_from_kaos(params, g, 0),
+                self._mos_from_kaos(params, g, 1),
+            )
+        a, g, l = kaos
+        return (
+            self._mos_from_kaos(params, a, 0),
+            self._mos_from_kaos(params, a, 1),
+            self._mos_from_kaos(params, g, 0),
+            self._mos_from_kaos(params, g, 1),
+            self._mos_from_kaos(params, l, 0),
+            self._mos_from_kaos(params, l, 1),
+        )

@@ -27,8 +27,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.gto import GTOSpec, eval_gto
+from ..ops.gto import GTOSpec
 from ..ops.linalg import slogdet_inv, sherman_morrison_row
+from .orbitals import MolecularOrbitals
 
 
 class SlaterState(NamedTuple):
@@ -84,19 +85,18 @@ class Slater:
                     "mo_coeff_beta": (nao, norb_dn)}
     """
 
-    def __init__(self, mol, gto_spec: Optional[GTOSpec], expansion, mo_coeff, det_coeff=None):
+    def __init__(self, mol, orbitals, expansion, mo_coeff=None, det_coeff=None):
+        """orbitals: a MolecularOrbitals/KPointOrbitals evaluator, or None to
+        build MolecularOrbitals from mo_coeff (back-compat)."""
         self.nup, self.ndn = mol.nelec
         self.nelec = self.nup + self.ndn
-        self.spec = gto_spec or GTOSpec.from_molecule(mol)
+        if orbitals is None:
+            orbitals = MolecularOrbitals(mol, mo_coeff)
+        self.orbitals = orbitals
         self.expansion = expansion
-        ca, cb = mo_coeff
         if det_coeff is None:
             det_coeff = np.ones(len(expansion.map_up))
-        self._params0 = {
-            "det_coeff": jnp.asarray(det_coeff),
-            "mo_coeff_alpha": jnp.asarray(ca),
-            "mo_coeff_beta": jnp.asarray(cb),
-        }
+        self._det_coeff0 = jnp.asarray(det_coeff)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -109,24 +109,17 @@ class Slater:
         return Slater(mol, None, DeterminantExpansion.single(nup, ndn), (ca, cb))
 
     def make_params(self):
-        return jax.tree.map(lambda x: x, self._params0)
+        p = {"det_coeff": self._det_coeff0}
+        p.update(self.orbitals.make_params())
+        return p
 
     # --- helpers ---------------------------------------------------------
-    def _aos(self, positions, mode):
-        return eval_gto(self.spec, positions, mode=mode)
-
     def _det_matrices(self, mo, occ):
         """mo (nconf, n_s, norb) -> (nconf, nd, n_s, n_s)."""
         nconf, ns = mo.shape[0], mo.shape[1]
         occf = jnp.asarray(occ.reshape(-1))
         m = mo[:, :, occf].reshape(nconf, ns, occ.shape[0], occ.shape[1])
         return m.transpose(0, 2, 1, 3)
-
-    def _mos_new(self, params, ao):
-        """AO values at proposed position(s) -> per-spin MO values."""
-        mo_up = ao @ params["mo_coeff_alpha"]
-        mo_dn = ao @ params["mo_coeff_beta"]
-        return mo_up, mo_dn
 
     def _det_ratios(self, mo_new, inv, occ, row):
         """r_k = sum_j mo_new[occ[k,j]] inv[k, j, row]  (per unique det).
@@ -159,9 +152,9 @@ class Slater:
     # --- protocol ---------------------------------------------------------
     def recompute(self, params, positions):
         nconf = positions.shape[0]
-        ao = self._aos(positions, 0)  # (nconf, nelec, nao)
-        mo_up = ao[:, : self.nup] @ params["mo_coeff_alpha"]
-        mo_dn = ao[:, self.nup :] @ params["mo_coeff_beta"]
+        mo_up_all, mo_dn_all = self.orbitals.eval(params, positions, 0)
+        mo_up = mo_up_all[:, : self.nup]
+        mo_dn = mo_dn_all[:, self.nup :]
         m_up = self._det_matrices(mo_up, self.expansion.occ_up)
         m_dn = self._det_matrices(mo_dn, self.expansion.occ_dn)
         pu, lu, iu = slogdet_inv(m_up)
@@ -215,20 +208,17 @@ class Slater:
 
     def testvalue(self, params, state, e, epos):
         """Psi(..., r_e=epos, ...)/Psi. epos (nconf, 3) or (nconf, naux, 3)."""
-        ao = self._aos(epos, 0)
-        mo_up, mo_dn = self._mos_new(params, ao)
+        mo_up, mo_dn = self.orbitals.eval(params, epos, 0)
         ratio = self._ratio_terms(params, state, e, mo_up, mo_dn)
         saved = {"mo_up": mo_up, "mo_dn": mo_dn}
         return ratio, saved
 
     def gradient_value(self, params, state, e, epos):
         """(grad psi/psi at epos (nconf,3), ratio (nconf,), saved)."""
-        ao, ao_grad = self._aos(epos, 1)  # (nconf, nao), (nconf, 3, nao)
-        mo_up, mo_dn = self._mos_new(params, ao)
-        gmo_up, gmo_dn = self._mos_new(params, ao_grad)
+        mo_up, mo_dn, gmo_up, gmo_dn = self.orbitals.eval(params, epos, 1)
         ratio = self._ratio_terms(params, state, e, mo_up, mo_dn)
-        gratio = self._ratio_terms(params, state, e, gmo_up, gmo_dn)  # (nconf,3)? no
         # gmo has shape (nconf, 3, norb): _ratio_terms treats axis 1 as aux
+        gratio = self._ratio_terms(params, state, e, gmo_up, gmo_dn)
         grad = gratio / ratio[:, None]
         saved = {"mo_up": mo_up, "mo_dn": mo_dn}
         return grad, ratio, saved
@@ -239,10 +229,9 @@ class Slater:
 
     def gradient_laplacian(self, params, state, e, epos):
         """(grad psi/psi, lap psi/psi) both at epos."""
-        ao, ao_grad, ao_lap = self._aos(epos, 2)
-        mo_up, mo_dn = self._mos_new(params, ao)
-        gmo_up, gmo_dn = self._mos_new(params, ao_grad)
-        lmo_up, lmo_dn = self._mos_new(params, ao_lap)
+        mo_up, mo_dn, gmo_up, gmo_dn, lmo_up, lmo_dn = self.orbitals.eval(
+            params, epos, 2
+        )
         ratio = self._ratio_terms(params, state, e, mo_up, mo_dn)
         gratio = self._ratio_terms(params, state, e, gmo_up, gmo_dn)
         lratio = self._ratio_terms(params, state, e, lmo_up, lmo_dn)

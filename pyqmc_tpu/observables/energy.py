@@ -20,11 +20,15 @@ def kinetic_energy(wf, params, state, positions):
     def body(e, carry):
         lap_acc, grad2_acc = carry
         g, lap = wf.gradient_laplacian(params, state, e, positions[:, e, :])
-        return lap_acc + lap, grad2_acc + jnp.sum(jnp.abs(g) ** 2, axis=-1)
+        # Re(lap psi / psi): the imaginary part cancels in expectation for
+        # complex (twisted) wavefunctions; keep the carry real.
+        return lap_acc + jnp.real(lap), grad2_acc + jnp.sum(
+            jnp.abs(g) ** 2, axis=-1
+        )
 
     lap0 = jnp.zeros(nconf, dtype=dtype)
     lap, grad2 = jax.lax.fori_loop(0, nelec, body, (lap0, lap0))
-    return -0.5 * jnp.real(lap), grad2
+    return -0.5 * lap, grad2
 
 
 class OpenCoulomb:
