@@ -156,6 +156,44 @@ class JastrowSpin:
             du = u_new - u_old
         return jnp.exp(du), {"du": du, "epos": epos}
 
+    def testvalue_many(self, params, state, epos):
+        """exp(dU_e) for each electron e moved to epos; (nconf, nelec)."""
+        positions = state.positions
+        dtype = positions.dtype
+        spin = jnp.asarray(self._spin)
+        # a-part at epos for both spin channels
+        d_ei = epos[:, None, :] - jnp.asarray(self.atom_coords, dtype)[None]
+        _, r_ei = self._dists(d_ei)
+        a_new = func3d.eval_basis_value(self.a_basis, r_ei)  # (c, I, k)
+        a_eps = jnp.einsum("cIk,Iks->cs", a_new, params["acoeff"])  # (c, 2)
+        # a-part at current positions per electron
+        d_cur = positions[:, :, None, :] - jnp.asarray(self.atom_coords, dtype)[None, None]
+        _, r_cur = self._dists(d_cur)
+        a_cur = func3d.eval_basis_value(self.a_basis, r_cur)  # (c, n, I, k)
+        acoeff_e = params["acoeff"][:, :, spin]  # (I, k, n)
+        a_old = jnp.einsum("cnIk,Ikn->cn", a_cur, acoeff_e)
+        # b-part at epos: T_s = sum_j bcoeff[k, s+spin_j] b_k(|epos - r_j|)
+        d_ee = epos[:, None, :] - positions
+        _, r_ee = self._dists(d_ee)
+        b_new = func3d.eval_basis_value(self.b_basis, r_ee)  # (c, j, k)
+        bc_j = params["bcoeff"][:, spin[None, :] + jnp.asarray([[0], [1]])]  # (k,2,n)
+        T = jnp.einsum("cjk,ksj->cs", b_new, bc_j)  # (c, 2)
+        # subtract the j=e self term (channel 2*spin_e)
+        diag_b = b_new  # b from epos to electron e itself, per e: (c, e, k)
+        bc_self = params["bcoeff"][:, 2 * spin]  # (k, n)
+        sub = jnp.einsum("cek,ke->ce", diag_b, bc_self)
+        u_new = a_eps[:, spin] + T[:, spin] - sub  # (c, n)
+        # old b-part per electron from the full pair matrix
+        d_full = positions[:, None, :, :] - positions[:, :, None, :]
+        _, r_full = self._dists(d_full)
+        b_full = func3d.eval_basis_value(self.b_basis, r_full)  # (c, i, j, k)
+        chan = spin[:, None] + spin[None, :]
+        bc_full = params["bcoeff"][:, chan]  # (k, i, j)
+        mask = 1.0 - jnp.eye(self.nelec, dtype=dtype)
+        b_old = jnp.einsum("cijk,kij,ij->ci", b_full, bc_full, mask)
+        u_old = a_old + b_old
+        return jnp.exp(u_new - u_old)
+
     def gradient_value(self, params, state, e, epos):
         u_new, g, _ = self._delta_terms(params, state.positions, e, epos, True)
         u_old, _, _ = self._delta_terms(

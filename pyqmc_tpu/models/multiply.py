@@ -43,6 +43,13 @@ class MultiplyWF:
             saved.append(sv)
         return ratio, tuple(saved)
 
+    def testvalue_many(self, params, state, epos):
+        ratio = None
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            r = w.testvalue_many(p, s, epos)
+            ratio = r if ratio is None else ratio * r
+        return ratio
+
     def gradient(self, params, state, e, epos):
         g = None
         for w, p, s in zip(self.wfs, self._split(params), state):

@@ -213,6 +213,29 @@ class Slater:
         saved = {"mo_up": mo_up, "mo_dn": mo_dn}
         return ratio, saved
 
+    def testvalue_many(self, params, state, epos):
+        """Ratios for replacing EACH electron with epos (nconf, 3) one at a
+        time: returns (nconf, nelec) (wf protocol testvalue_many,
+        slater.py:301-388 semantics; used by OBDM/S^2 estimators)."""
+        mo_up, mo_dn = self.orbitals.eval(params, epos, 0)  # (nconf, norb_s)
+        w, denom, _ = self._expansion_weights(params, state)
+        mu = jnp.asarray(self.expansion.map_up)
+        md = jnp.asarray(self.expansion.map_dn)
+        outs = []
+        for mo, inv, occ, mp in (
+            (mo_up, state.inv_up, self.expansion.occ_up, mu),
+            (mo_dn, state.inv_dn, self.expansion.occ_dn, md),
+        ):
+            nd, n = occ.shape
+            if n == 0:
+                continue
+            occf = jnp.asarray(occ.reshape(-1))
+            sel = mo[:, occf].reshape(mo.shape[0], nd, n)
+            r = jnp.einsum("ckj,ckjr->ckr", sel, inv)  # (nconf, nd, nrows)
+            num = jnp.einsum("cdr,cd->cr", r[:, mp, :], w)
+            outs.append(num / denom[:, None])
+        return jnp.concatenate(outs, axis=1)
+
     def gradient_value(self, params, state, e, epos):
         """(grad psi/psi at epos (nconf,3), ratio (nconf,), saved)."""
         mo_up, mo_dn, gmo_up, gmo_dn = self.orbitals.eval(params, epos, 1)

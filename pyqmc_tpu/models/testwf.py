@@ -67,6 +67,23 @@ def test_testvalue(wf, params, configs, key, tol=1e-9):
         )
 
 
+def test_testvalue_many(wf, params, configs, key, tol=1e-9):
+    """Each column of testvalue_many must equal testvalue for that electron
+    (testwf.py:66-91)."""
+    pos = configs.positions
+    nconf, nelec = pos.shape[:2]
+    state = wf.recompute(params, pos)
+    key, k1 = jax.random.split(key)
+    epos = pos[:, 0, :] + 0.5 * jax.random.normal(k1, (nconf, 3), dtype=pos.dtype)
+    epos, _ = configs.make_irreducible(epos)
+    many = wf.testvalue_many(params, state, epos)
+    assert many.shape == (nconf, nelec)
+    for e in range(nelec):
+        one, _ = wf.testvalue(params, state, jnp.int32(e), epos)
+        err = float(jnp.max(jnp.abs(many[:, e] - one)))
+        assert err < tol * (1 + float(jnp.max(jnp.abs(one)))), (e, err)
+
+
 def test_gradient(wf, params, configs, key, delta=1e-5, tol=1e-5):
     """grad log psi vs finite differences (testwf.py:149-185)."""
     pos = configs.positions
@@ -145,6 +162,8 @@ def test_pgradient(wf, params, configs, key, delta=1e-6, tol=1e-5):
 def run_all(wf, params, configs, key, tols=()):
     test_updateinternals(wf, params, configs, key)
     test_testvalue(wf, params, configs, key)
+    if hasattr(wf, "testvalue_many"):
+        test_testvalue_many(wf, params, configs, key)
     test_gradient(wf, params, configs, key)
     test_gradient_laplacian(wf, params, configs, key)
     test_pgradient(wf, params, configs, key)

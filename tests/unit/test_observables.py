@@ -1,0 +1,124 @@
+"""OBDM / TBDM / S^2 / Sq / reblock checks with analytic expectations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyqmc_tpu.system.mole import Molecule
+from pyqmc_tpu.system.scf import run_scf
+from pyqmc_tpu.models.slater import Slater
+from pyqmc_tpu.observables.obdm import OBDMAccumulator
+from pyqmc_tpu.observables.tbdm import TBDMAccumulator
+from pyqmc_tpu.observables.s2 import S2Accumulator
+from pyqmc_tpu.observables.sq import SqAccumulator
+from pyqmc_tpu.method.vmc import vmc
+from pyqmc_tpu.configs import initial_guess
+from pyqmc_tpu import reblock as rb
+
+
+@pytest.fixture(scope="module")
+def he_setup():
+    # uncontracted 3s basis so there are virtual orbitals to test against
+    mol = Molecule(
+        "He 0 0 0",
+        basis={"He": [[0, [6.0, 1.0]], [0, [1.2, 1.0]], [0, [0.3, 1.0]]]},
+    )
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    return mol, mf, wf
+
+
+def test_obdm_he_occupied(he_setup):
+    """For a Slater determinant the OBDM in the occupied-MO basis is the
+    identity (occupation 1 per spin-orbital summed to 2 for RHF He)."""
+    mol, mf, wf = he_setup
+    nocc = mol.nelec[0]
+    acc = OBDMAccumulator(mol, mf.mo_coeff[0][:, : nocc + 1])
+    configs = initial_guess(mol, 2000, key=jax.random.PRNGKey(0))
+    data, _ = vmc(
+        wf, wf.make_params(), configs, nblocks=25, nsteps_per_block=10,
+        accumulators={"obdm": acc}, key=jax.random.PRNGKey(1),
+    )
+    rho = np.mean([d["obdmvalue"] for d in data[5:]], axis=0)
+    # occupied diagonal = 2 (both spins), virtual diagonal = 0
+    assert abs(rho[0, 0] - 2.0) < 0.15, rho
+    assert abs(rho[1, 1]) < 0.1, rho
+    assert abs(rho[0, 1]) < 0.1 and abs(rho[1, 0]) < 0.1
+
+
+def test_s2_singlet(he_setup):
+    """RHF He is a singlet: <S^2> = 0."""
+    mol, mf, wf = he_setup
+    acc = S2Accumulator(mol)
+    configs = initial_guess(mol, 1500, key=jax.random.PRNGKey(2))
+    data, _ = vmc(
+        wf, wf.make_params(), configs, nblocks=20, nsteps_per_block=10,
+        accumulators={"s2": acc}, key=jax.random.PRNGKey(3),
+    )
+    s2 = np.mean([d["s2S2"] for d in data[5:]])
+    assert abs(s2) < 0.05, s2
+
+
+def test_s2_triplet():
+    """UHF O atom triplet: <S^2> ~ 2 (+small contamination)."""
+    mol = Molecule("O 0 0 0", basis="sto-3g", spin=2)
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    acc = S2Accumulator(mol)
+    configs = initial_guess(mol, 800, key=jax.random.PRNGKey(4))
+    data, _ = vmc(
+        wf, wf.make_params(), configs, nblocks=15, nsteps_per_block=10,
+        accumulators={"s2": acc}, key=jax.random.PRNGKey(5),
+    )
+    s2 = np.mean([d["s2S2"] for d in data[5:]])
+    assert abs(s2 - 2.0) < 0.2, s2
+
+
+def test_tbdm_smoke(he_setup):
+    """up-dn TBDM of RHF He: rho2_{0000} ~ 1 (both electrons in MO 0)."""
+    mol, mf, wf = he_setup
+    acc = TBDMAccumulator(mol, mf.mo_coeff[0][:, :1], spin=(0, 1))
+    configs = initial_guess(mol, 2000, key=jax.random.PRNGKey(6))
+    data, _ = vmc(
+        wf, wf.make_params(), configs, nblocks=20, nsteps_per_block=10,
+        accumulators={"tbdm": acc}, key=jax.random.PRNGKey(7),
+    )
+    val = np.mean([d["tbdmvalue"] for d in data[5:]], axis=0)
+    assert abs(val[0, 0, 0, 0] - 1.0) < 0.2, val
+
+
+def test_sq_limits():
+    """Ideal-gas-like check: for uncorrelated positions S(q) -> 1 at large q."""
+    qs = np.array([[20.0, 0, 0], [0, 25.0, 0]])
+    acc = SqAccumulator(qlist=qs)
+    rng = np.random.default_rng(8)
+    pos = jnp.asarray(rng.uniform(0, 10, size=(4000, 6, 3)))
+    out = acc(None, None, None, pos)
+    sq = np.mean(np.asarray(out["Sq"]), axis=0)
+    np.testing.assert_allclose(sq, 1.0, atol=0.1)
+
+
+def test_reblock_iid():
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=4096)
+    mean, se, lvl = rb.opt_block(x)
+    np.testing.assert_allclose(se, 1.0 / np.sqrt(4096), rtol=0.3)
+    s = rb.reblock_summary(x, 16)
+    np.testing.assert_allclose(s["mean"], x.mean(), atol=1e-12)
+
+
+def test_reblock_correlated():
+    """AR(1) series: naive SEM underestimates; reblocked SEM ~ true."""
+    rng = np.random.default_rng(10)
+    n, rho = 2**14, 0.95
+    eps = rng.normal(size=n)
+    x = np.empty(n)
+    x[0] = eps[0]
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + np.sqrt(1 - rho**2) * eps[i]
+    true_se = np.sqrt((1 + rho) / (1 - rho) / n)
+    naive = x.std(ddof=1) / np.sqrt(n)
+    mean, se, lvl = rb.opt_block(x)
+    assert naive < 0.5 * true_se
+    assert 0.5 * true_se < se < 1.6 * true_se, (se, true_se)
