@@ -1,0 +1,30 @@
+"""Flat public API (port of pyqmc/api.py:15-29)."""
+
+from .system.mole import Molecule, Cell
+from .system.scf import run_scf, MeanField
+from .system.supercell import (
+    get_supercell,
+    get_supercell_kpts,
+    create_supercell_twists,
+)
+from .configs import Configs, Geometry, initial_guess
+from .models.slater import Slater, DeterminantExpansion
+from .models.jastrow import JastrowSpin
+from .models.jastrow3 import ThreeBodyJastrow
+from .models.multiply import MultiplyWF
+from .models.orbitals import MolecularOrbitals, KPointOrbitals
+from .observables.accumulators import EnergyAccumulator
+from .observables.ecp import ECPAccumulator
+from .observables.ewald import Ewald
+from .observables.obdm import OBDMAccumulator
+from .observables.tbdm import TBDMAccumulator
+from .observables.s2 import S2Accumulator
+from .observables.sq import SqAccumulator
+from .observables.transform import LinearTransform
+from .observables.sr import StochasticReconfiguration
+from .method.vmc import vmc
+from .method.dmc import rundmc
+from .method.linemin import line_minimization
+from .wftools import generate_wf, generate_slater, generate_jastrow
+from .recipes import OPTIMIZE, VMC, DMC, read_mc_output
+from .reblock import reblock, reblock_by2, opt_block, reblock_summary

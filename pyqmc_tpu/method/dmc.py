@@ -39,9 +39,42 @@ def limdrift_umrigar(g, tau):
 
 
 def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
-                   tdamp=1.0):
+                   tdamp=1.0, tmoves=True):
     axis = mesh.axis_names[0] if mesh is not None else None
     nelec = wf.nelec
+    ecp_acc = getattr(energy_acc, "ecp_acc", None)
+    do_tmoves = tmoves and ecp_acc is not None and ecp_acc.active
+
+    def tmove_sweep(params, positions, state, stepkey):
+        """Anderson-Casula T-moves (dmc.py:73-120,168-176): per electron,
+        select among {stay} + quadrature points with heat-bath weights."""
+
+        def ebody(e, carry):
+            positions, state = carry
+            k1 = jax.random.fold_in(stepkey, 3 * e)
+            k2 = jax.random.fold_in(stepkey, 3 * e + 1)
+            aux, t = ecp_acc.tmove_data(
+                wf, params, state, positions, e, k1, tstep
+            )  # (c, nq, 3), (c, nq)
+            nconf, nq = t.shape
+            norm = 1.0 + jnp.sum(t, axis=1)  # stay weight 1
+            # categorical: index 0 = stay, 1..nq = move
+            probs = jnp.concatenate([1.0 / norm[:, None], t / norm[:, None]], axis=1)
+            cum = jnp.cumsum(probs, axis=1)
+            u = jax.random.uniform(k2, (nconf, 1))
+            choice = jnp.sum((u > cum).astype(jnp.int32), axis=1)  # 0..nq
+            move = choice > 0
+            qidx = jnp.clip(choice - 1, 0, nq - 1)
+            newpos = jnp.take_along_axis(
+                aux, qidx[:, None, None].astype(jnp.int32).repeat(3, axis=2), axis=1
+            )[:, 0, :]
+            newpos = jnp.where(move[:, None], newpos, positions[:, e, :])
+            _, saved = wf.testvalue(params, state, e, newpos)
+            state = wf.updateinternals(params, state, e, newpos, move, saved)
+            positions = positions.at[:, e, :].set(newpos)
+            return positions, state
+
+        return jax.lax.fori_loop(0, nelec, ebody, (positions, state))
 
     def pglobal_mean(x, w=None):
         """weighted global mean over walkers (and shards)."""
@@ -111,6 +144,10 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
 
         def step_fn(carry, stepkey):
             positions, wrap, state, weights, S_old = carry
+            if do_tmoves:
+                positions, state = tmove_sweep(
+                    params, positions, state, jax.random.fold_in(stepkey, 555)
+                )
             positions, wrap, state, acc = sweep(
                 params, positions, wrap, state, stepkey
             )

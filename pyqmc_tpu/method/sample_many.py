@@ -1,0 +1,135 @@
+"""Sampling from the wavefunction mixture rho = sum_i |psi_i|^2
+(port of pyqmc/method/sample_many.py:42-235).
+
+One jitted block advances all wavefunctions' states through a shared
+Metropolis chain on rho and accumulates the normalized overlap matrix
+N_ij = <conj(a_i) a_j / rho> and per-state weighted energies; amplitudes are
+kept max-shifted for stability (compute_weights, sample_many.py:42-55).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .vmc import limdrift
+
+
+def _amplitudes(wfs, params_list, states):
+    """a_i = phase_i e^{la_i - m}: (nwf, nconf) complex-ish; rho = sum |a|^2."""
+    las, phases = [], []
+    for wf, p, s in zip(wfs, params_list, states):
+        ph, la = wf.value(p, s)
+        las.append(la)
+        phases.append(ph)
+    las = jnp.stack(las)
+    phases = jnp.stack(phases)
+    m = jnp.max(las, axis=0, keepdims=True)
+    a = phases * jnp.exp(las - m)
+    rho = jnp.sum(jnp.abs(a) ** 2, axis=0)
+    return a, rho
+
+
+def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None):
+    nwf = len(wfs)
+    nelec = wfs[0].nelec
+
+    def sweep(params_list, positions, states, stepkey):
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+
+        def ebody(e, carry):
+            positions, states, acc = carry
+            k1 = jax.random.fold_in(stepkey, 2 * e)
+            k2 = jax.random.fold_in(stepkey, 2 * e + 1)
+            epos = positions[:, e, :]
+            a, rho = _amplitudes(wfs, params_list, states)
+            wnorm = jnp.abs(a) ** 2 / rho  # (nwf, nconf)
+            grads = []
+            for wf, p, s in zip(wfs, params_list, states):
+                grads.append(jnp.real(wf.gradient(p, s, e, epos)))
+            drift = limdrift(
+                sum(wnorm[i][:, None] * grads[i] for i in range(nwf))
+            )
+            gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
+            prop = epos + gauss + tstep * drift
+            newpos, _ = geometry.enforce(prop)
+            ratios, saveds, gnews = [], [], []
+            for wf, p, s in zip(wfs, params_list, states):
+                g, r, sv = wf.gradient_value(p, s, e, newpos)
+                ratios.append(r)
+                saveds.append(sv)
+                gnews.append(jnp.real(g))
+            rho_ratio = sum(
+                wnorm[i] * jnp.abs(ratios[i]) ** 2 for i in range(nwf)
+            )
+            drift_new = limdrift(
+                sum(
+                    (wnorm[i] * jnp.abs(ratios[i]) ** 2 / rho_ratio)[:, None]
+                    * gnews[i]
+                    for i in range(nwf)
+                )
+            )
+            forward = jnp.sum(gauss * gauss, axis=-1)
+            backward = jnp.sum(
+                (gauss + tstep * (drift + drift_new)) ** 2, axis=-1
+            )
+            t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
+            accept = rho_ratio * t_prob > jax.random.uniform(k2, (nconf,))
+            states = tuple(
+                wf.updateinternals(p, s, e, newpos, accept, sv)
+                for wf, p, s, sv in zip(wfs, params_list, states, saveds)
+            )
+            positions = positions.at[:, e, :].set(
+                jnp.where(accept[:, None], newpos, epos)
+            )
+            return positions, states, acc + jnp.mean(accept.astype(dtype))
+
+        return jax.lax.fori_loop(
+            0, nelec, ebody, (positions, states, jnp.zeros((), dtype))
+        )
+
+    def block(params_list, positions, key):
+        states = tuple(
+            wf.recompute(p, positions) for wf, p in zip(wfs, params_list)
+        )
+
+        def step_fn(carry, stepkey):
+            positions, states = carry
+            positions, states, acc = sweep(params_list, positions, states, stepkey)
+            a, rho = _amplitudes(wfs, params_list, states)
+            nij = jnp.einsum("ic,jc->ijc", jnp.conj(a), a) / rho[None, None, :]
+            out = {"acceptance": acc / nelec, "overlap": jnp.mean(nij, axis=-1)}
+            if energy_acc is not None:
+                for i, (wf, p, s) in enumerate(zip(wfs, params_list, states)):
+                    el = energy_acc(wf, p, s, positions,
+                                    key=jax.random.fold_in(stepkey, 9000 + i))["total"]
+                    w = jnp.abs(a[i]) ** 2 / rho
+                    out[f"energy{i}_num"] = jnp.mean(w * el)
+                    out[f"energy{i}_den"] = jnp.mean(w)
+            return (positions, states), out
+
+        keys = jax.random.split(key, nsteps)
+        (positions, states), outs = jax.lax.scan(step_fn, (positions, states), keys)
+        avg = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+        return positions, avg
+
+    return jax.jit(block)
+
+
+def sample_overlap(wfs, params_list, configs, key, nblocks=10, nsteps=10,
+                   tstep=0.5, energy_acc=None):
+    """Returns (list of block dicts, final configs)."""
+    block = make_overlap_block(
+        wfs, configs.geometry, tstep=tstep, nsteps=nsteps, energy_acc=energy_acc
+    )
+    positions = configs.positions
+    data = []
+    for b in range(nblocks):
+        key, bkey = jax.random.split(key)
+        positions, avg = block(tuple(params_list), positions, bkey)
+        data.append(jax.tree.map(np.asarray, avg))
+    import dataclasses
+
+    return data, dataclasses.replace(configs, positions=positions)

@@ -155,14 +155,19 @@ class ECPAccumulator:
     def active(self):
         return len(self.atoms) > 0
 
-    def _nonlocal_electron(self, wf, params, state, positions, e, key):
-        """Nonlocal ECP energy contribution of electron e (nconf,)."""
+    def _electron_quadrature(self, wf, params, state, positions, e, key):
+        """Quadrature data for electron e.
+
+        Returns (aux (c, A*naip, 3), T (c, A*naip), ratios (c, A*naip)) with
+        T_q = sum_l (2l+1) v_l(r_I) P_l(costh_q) w_q the off-diagonal matrix
+        element weight, so the nonlocal energy is sum_q T_q Re(ratio_q) and
+        T-move amplitudes are tau * max(0, -T_q Re(ratio_q)).
+        """
         nconf = positions.shape[0]
         dtype = positions.dtype
         epos = positions[:, e, :]
-        auxs = []
-        cosths = []
-        dists = []
+        auxs, Ts = [], []
+        w = jnp.asarray(self.quad_w, dtype)
         for k, aecp in enumerate(self.atoms):
             R = jnp.asarray(self.atom_coords[aecp.atom], dtype)
             d = epos - R  # (nconf, 3)
@@ -172,24 +177,34 @@ class ECPAccumulator:
             dirs = jnp.einsum("cxy,qy->cqx", rot, pts)  # (c, naip, 3)
             aux = R[None, None, :] + r[:, None, None] * dirs  # (c, naip, 3)
             costh = jnp.einsum("cqx,cx->cq", dirs, d / jnp.maximum(r, 1e-12)[:, None])
-            auxs.append(aux)
-            cosths.append(costh)
-            dists.append(r)
-        aux_all = jnp.concatenate(auxs, axis=1)  # (c, natomecp*naip, 3)
-        ratios, _ = wf.testvalue(params, state, e, aux_all)  # (c, A*naip)
-        ratios = ratios.reshape(nconf, len(self.atoms), self.naip)
-        w = jnp.asarray(self.quad_w, dtype)
-        total = jnp.zeros(nconf, dtype)
-        for k, aecp in enumerate(self.atoms):
-            r = dists[k]
-            costh = cosths[k]
             inside = (r < self.rmax).astype(dtype)
+            T = jnp.zeros((nconf, self.naip), dtype)
             for ch in aecp.nonlocal_channels:
-                proj = jnp.einsum(
-                    "q,cq,cq->c", w, legendre(ch.l, costh), jnp.real(ratios[:, k, :])
-                )
-                total = total + inside * (2 * ch.l + 1) * ch.evaluate(r) * proj
-        return total
+                T = T + (
+                    (2 * ch.l + 1) * ch.evaluate(r) * inside
+                )[:, None] * legendre(ch.l, costh) * w[None, :]
+            auxs.append(aux)
+            Ts.append(T)
+        aux_all = jnp.concatenate(auxs, axis=1)  # (c, A*naip, 3)
+        T_all = jnp.concatenate(Ts, axis=1)
+        ratios, _ = wf.testvalue(params, state, e, aux_all)
+        return aux_all, T_all, ratios
+
+    def _nonlocal_electron(self, wf, params, state, positions, e, key):
+        """Nonlocal ECP energy contribution of electron e (nconf,)."""
+        _, T, ratios = self._electron_quadrature(
+            wf, params, state, positions, e, key
+        )
+        return jnp.sum(T * jnp.real(ratios), axis=1)
+
+    def tmove_data(self, wf, params, state, positions, e, key, tau):
+        """T-move proposal set for electron e (Casula size-consistent form,
+        cf. eval_ecp.py:43-80): (aux points, amplitudes t_q >= 0)."""
+        aux, T, ratios = self._electron_quadrature(
+            wf, params, state, positions, e, key
+        )
+        t = tau * jnp.maximum(0.0, -(T * jnp.real(ratios)))
+        return aux, t
 
     def __call__(self, wf, params, state, positions, key):
         nconf = positions.shape[0]
