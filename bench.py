@@ -39,20 +39,22 @@ def main():
     pos = pos.astype(dtype)
     params = jax.tree.map(lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params)
 
-    # warmup/compile
-    p2, w2, avg = block(params, pos, wrap, key)
-    jax.block_until_ready(p2)
+    # warmup/compile (forcing a scalar fully materializes: on the remote
+    # axon tunnel, block_until_ready alone does not guarantee sync)
+    pos, wrap, avg = block(params, pos, wrap, key)
+    _ = float(avg["energytotal"])
 
-    nrep = 5
-    t0 = time.perf_counter()
-    for i in range(nrep):
+    times = []
+    for i in range(7):
         key, bk = jax.random.split(key)
+        t0 = time.perf_counter()
         pos, wrap, avg = block(params, pos, wrap, bk)
-    jax.block_until_ready(pos)
-    dt = time.perf_counter() - t0
+        _ = float(avg["energytotal"])
+        times.append(time.perf_counter() - t0)
+    import numpy as _np
 
-    walker_steps = nconf * nsteps * nrep
-    rate = walker_steps / dt
+    dt = float(_np.median(times))
+    rate = nconf * nsteps / dt
     print(
         json.dumps(
             {

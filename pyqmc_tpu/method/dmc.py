@@ -242,22 +242,55 @@ def rundmc(
 
         raise ValueError("energy_acc (EnergyAccumulator) is required")
 
-    # VMC warmup + e_trial estimation (dmc.py:500-517)
-    key, wkey = jax.random.split(key)
-    wdata, configs = vmc_run(
-        wf, params, configs, nblocks=warmup_vmc_blocks, nsteps_per_block=10,
-        tstep=0.5, accumulators={"energy": energy_acc}, key=wkey, mesh=mesh,
-    )
-    state = wf.recompute(params, configs.positions)
-    eloc = np.asarray(energy_acc(wf, params, state, configs.positions,
-                                 key=jax.random.PRNGKey(99))["total"])
-    e_est = float(np.mean(eloc))
-    esigma = float(np.std(eloc))
-    e_trial = e_est
+    # restart from checkpoint: configs + weights + e_trial/e_est/esigma
+    # (dmc.py:472-499)
+    restart = None
+    if hdf_file is not None:
+        import os, h5py
+
+        if os.path.exists(hdf_file):
+            with h5py.File(hdf_file, "r") as f:
+                if "weights" in f and "configs" in f:
+                    restart = {
+                        "configs": Configs.from_hdf(f["configs"]),
+                        "weights": np.asarray(f["weights"]),
+                        "e_trial": float(np.asarray(f["e_trial"])[-1]),
+                        "e_est": float(np.asarray(f["e_est"])[-1]),
+                        "esigma": float(f.attrs.get("esigma", 1.0)),
+                        "block0": int(np.asarray(f["block"])[-1]) + 1,
+                    }
+
+    if restart is None:
+        # VMC warmup + e_trial estimation (dmc.py:500-517)
+        key, wkey = jax.random.split(key)
+        wdata, configs = vmc_run(
+            wf, params, configs, nblocks=warmup_vmc_blocks, nsteps_per_block=10,
+            tstep=0.5, accumulators={"energy": energy_acc}, key=wkey, mesh=mesh,
+        )
+        state = wf.recompute(params, configs.positions)
+        eloc = np.asarray(energy_acc(wf, params, state, configs.positions,
+                                     key=jax.random.PRNGKey(99))["total"])
+        e_est = float(np.mean(eloc))
+        esigma = float(np.std(eloc))
+        e_trial = e_est
+        block0 = 0
+        weights0 = None
+    else:
+        configs = restart["configs"]
+        e_trial = restart["e_trial"]
+        e_est = restart["e_est"]
+        esigma = restart["esigma"]
+        block0 = restart["block0"]
+        weights0 = restart["weights"]
+        key = jax.random.fold_in(key, block0)
 
     positions, wrap = configs.positions, configs.wrap
     dtype = positions.dtype
-    weights = jnp.ones(positions.shape[0], dtype=dtype)
+    weights = (
+        jnp.ones(positions.shape[0], dtype=dtype)
+        if weights0 is None
+        else jnp.asarray(weights0, dtype)
+    )
     if mesh is not None:
         axis = mesh.axis_names[0]
         sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
@@ -270,8 +303,8 @@ def rundmc(
     )
 
     block_data = []
-    ehist = []
-    for b in range(nblocks):
+    ehist = [] if restart is None else [e_est]
+    for b in range(block0, block0 + nblocks):
         key, bkey, brkey = jax.random.split(key, 3)
         positions, wrap, weights, avg = block_fn(
             params, positions, wrap, weights,
@@ -309,6 +342,7 @@ def rundmc(
                     f["weights"][...] = np.asarray(jax.device_get(weights))
                 else:
                     f.create_dataset("weights", data=np.asarray(jax.device_get(weights)))
+                f.attrs["esigma"] = esigma
 
     final = Configs.create(
         jax.device_get(positions), configs.geometry, wrap=jax.device_get(wrap)

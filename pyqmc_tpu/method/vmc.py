@@ -151,6 +151,16 @@ def vmc(
     """
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
+    # auto-continue from an existing checkpoint (mc.py:224-243 semantics)
+    if hdf_file is not None and continue_from_block == 0:
+        import os, h5py
+
+        if os.path.exists(hdf_file):
+            with h5py.File(hdf_file, "r") as f:
+                if "configs" in f and "block" in f:
+                    configs = Configs.from_hdf(f["configs"])
+                    continue_from_block = int(np.asarray(f["block"])[-1]) + 1
+                    key = jax.random.fold_in(key, continue_from_block)
     if block_fn is None:
         block_fn = make_vmc_block(
             wf, accumulators, configs.geometry, tstep=tstep,

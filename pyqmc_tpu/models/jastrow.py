@@ -219,7 +219,25 @@ class JastrowSpin:
         return JastrowState(positions=newpos, u=newu)
 
     def pgradient(self, params, positions):
-        def single(pos):
-            return jax.grad(lambda p: self._u_total(p, pos[None])[0])(params)
+        """Analytic: U is linear in the coefficients (jastrowspin.py:457-464).
 
-        return jax.vmap(single)(positions)
+        dU/dacoeff[I,k,s] = sum_{i: spin_i = s} a_k(r_iI)
+        dU/dbcoeff[k,ch]  = sum_{i<j: ch(i,j) = ch} b_k(r_ij)
+        """
+        dtype = positions.dtype
+        spin = jnp.asarray(self._spin)
+        d_ei = positions[:, :, None, :] - jnp.asarray(self.atom_coords, dtype)[None, None]
+        _, r_ei = self._dists(d_ei)
+        a_vals = func3d.eval_basis_value(self.a_basis, r_ei)  # (c, e, I, k)
+        sone = (spin[:, None] == jnp.arange(2)[None, :]).astype(dtype)  # (e, 2)
+        dA = jnp.einsum("ceIk,es->cIks", a_vals, sone)
+        d_ee = positions[:, None, :, :] - positions[:, :, None, :]
+        _, r_ee = self._dists(d_ee)
+        b_vals = func3d.eval_basis_value(self.b_basis, r_ee)  # (c, i, j, k)
+        chan = spin[:, None] + spin[None, :]
+        iu = jnp.triu_indices(self.nelec, k=1)
+        chone = (
+            chan[iu[0], iu[1]][:, None] == jnp.arange(3)[None, :]
+        ).astype(dtype)  # (npair, 3)
+        dB = jnp.einsum("cpk,ph->ckh", b_vals[:, iu[0], iu[1], :], chone)
+        return {"acoeff": dA, "bcoeff": dB}

@@ -306,14 +306,58 @@ class Slater:
         return jax.lax.cond(pred, up_branch, dn_branch, state)
 
     def pgradient(self, params, positions):
-        """d log|psi| / d params, per walker (pytree of (nconf, ...))."""
+        """d log psi / d params, per walker (pytree of (nconf, ...)).
 
-        def single(pos):
-            def logabs(p):
-                st = self.recompute(p, pos[None])
-                _, la = self.value(p, st)
-                return la[0]
+        Analytic (slater.py:462-542 semantics): determinant-coefficient
+        derivatives from the expansion weights, orbital-coefficient
+        derivatives via tr(M^-1 dM). Closed-form einsums — no autodiff
+        graph over the determinant solver (a vmap-of-jacobian formulation
+        compiles pathologically on TPU).
+        """
+        state = self.recompute(params, positions)
+        w, denom, _ = self._expansion_weights(params, state)  # (c, ndet)
+        # det_coeff: d log psi / d c_d = (w_d / c_d) / denom
+        dDet = (w / params["det_coeff"][None, :]) / denom[:, None]
+        out = {"det_coeff": jnp.real(dDet)}
 
-            return jax.grad(logabs)(params)
+        # orbital coefficients (only for the molecular evaluator layout)
+        if not isinstance(self.orbitals, MolecularOrbitals):
+            zero = {
+                k: jax.tree.map(
+                    lambda x: jnp.zeros((positions.shape[0],) + x.shape, x.dtype), v
+                )
+                for k, v in self.orbitals.make_params().items()
+            }
+            out.update(zero)
+            return out
 
-        return jax.vmap(single)(positions)
+        from ..ops.gto import eval_gto
+
+        ao = eval_gto(self.orbitals.spec, positions, 0)  # (c, ne, nao)
+        mu = jnp.asarray(self.expansion.map_up)
+        md = jnp.asarray(self.expansion.map_dn)
+        # per-unique-det weights: sum over expansion terms referring to det k
+        for spin, (inv, occ, mp, sl, cname) in enumerate((
+            (state.inv_up, self.expansion.occ_up, mu, slice(0, self.nup),
+             "mo_coeff_alpha"),
+            (state.inv_dn, self.expansion.occ_dn, md, slice(self.nup, None),
+             "mo_coeff_beta"),
+        )):
+            norb = params[cname].shape[1]
+            nd, n = occ.shape
+            if n == 0:
+                out[cname] = jnp.zeros(
+                    (positions.shape[0],) + params[cname].shape
+                )
+                continue
+            # weight of unique det k: sum_d w_d [map(d) = k] / denom
+            sel = (mp[:, None] == jnp.arange(nd)[None, :]).astype(w.dtype)
+            wk = (w @ sel) / denom[:, None]  # (c, nd)
+            # t[c, k, j, mu] = sum_i inv[c,k,j,i] ao_s[c,i,mu]
+            t = jnp.einsum("ckji,cim->ckjm", inv, ao[:, sl])
+            # scatter column j of det k onto orbital occ[k, j]
+            occf = jnp.asarray(occ)  # (nd, n)
+            onehot = (occf[..., None] == jnp.arange(norb)).astype(w.dtype)
+            dC = jnp.einsum("ck,ckjm,kjo->cmo", wk, t, onehot)
+            out[cname] = jnp.real(dC)
+        return out

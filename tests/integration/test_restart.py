@@ -1,0 +1,61 @@
+"""Checkpoint/restart continuity for VMC and DMC (mirrors reference
+test_dmc.py:67 and the h2_restarts example workflow)."""
+
+import numpy as np
+import h5py
+import jax
+import pytest
+
+from pyqmc_tpu.system.mole import Molecule
+from pyqmc_tpu.system.scf import run_scf
+from pyqmc_tpu.models.slater import Slater
+from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+from pyqmc_tpu.method.vmc import vmc
+from pyqmc_tpu.method.dmc import rundmc
+from pyqmc_tpu.configs import initial_guess
+
+
+@pytest.fixture(scope="module")
+def he():
+    mol = Molecule("He 0 0 0", basis="sto-3g")
+    mf = run_scf(mol)
+    return mol, Slater.from_mean_field(mf)
+
+
+def test_vmc_continue(he, tmp_path):
+    mol, wf = he
+    f = str(tmp_path / "vmc.h5")
+    params = wf.make_params()
+    acc = {"energy": EnergyAccumulator(mol)}
+    configs = initial_guess(mol, 60, key=jax.random.PRNGKey(0))
+    vmc(wf, params, configs, nblocks=3, nsteps_per_block=5,
+        accumulators=acc, key=jax.random.PRNGKey(1), hdf_file=f)
+    # second call continues: blocks 3..5 appended, configs reloaded
+    vmc(wf, params, configs, nblocks=3, nsteps_per_block=5,
+        accumulators=acc, key=jax.random.PRNGKey(1), hdf_file=f)
+    with h5py.File(f, "r") as h:
+        blocks = np.asarray(h["block"])
+        assert list(blocks) == [0, 1, 2, 3, 4, 5]
+
+
+def test_dmc_restart(he, tmp_path):
+    mol, wf = he
+    f = str(tmp_path / "dmc.h5")
+    params = wf.make_params()
+    acc = EnergyAccumulator(mol)
+    configs = initial_guess(mol, 80, key=jax.random.PRNGKey(2))
+    d1, c1, w1 = rundmc(wf, params, configs, nblocks=4, nsteps_per_block=5,
+                        tstep=0.02, energy_acc=acc, key=jax.random.PRNGKey(3),
+                        hdf_file=f, warmup_vmc_blocks=2)
+    d2, c2, w2 = rundmc(wf, params, configs, nblocks=4, nsteps_per_block=5,
+                        tstep=0.02, energy_acc=acc, key=jax.random.PRNGKey(3),
+                        hdf_file=f, warmup_vmc_blocks=2)
+    with h5py.File(f, "r") as h:
+        blocks = np.asarray(h["block"])
+        assert list(blocks) == list(range(8))
+        # e_trial history continuous (no reset to warmup estimate)
+        et = np.asarray(h["e_trial"])
+        assert np.all(np.isfinite(et)) and len(et) == 8
+    # energies from the restarted half remain sane
+    en2 = [d["energytotal"] for d in d2]
+    assert np.all(np.isfinite(en2))
