@@ -20,11 +20,20 @@ from .observables.obdm import OBDMAccumulator
 from .observables.tbdm import TBDMAccumulator
 from .observables.s2 import S2Accumulator
 from .observables.sq import SqAccumulator
+from .observables.symmetry import SymmetryAccumulator
 from .observables.transform import LinearTransform
 from .observables.sr import StochasticReconfiguration
 from .method.vmc import vmc
 from .method.dmc import rundmc
 from .method.linemin import line_minimization
+from .method.sample_many import sample_overlap
+from .method.ensemble import optimize_ensemble
+from .method.optvariance import optvariance
+from .method.extrapolate import tstep_extrapolate
+from .models.addwf import AddWF
+from .models.generic_jastrow import GeminalJastrow, GPSJastrow
+from .system.casci import run_casci
+from .system.io import save_system, load_system
 from .wftools import generate_wf, generate_slater, generate_jastrow
 from .recipes import OPTIMIZE, VMC, DMC, read_mc_output
 from .reblock import reblock, reblock_by2, opt_block, reblock_summary

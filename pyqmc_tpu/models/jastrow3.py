@@ -209,6 +209,12 @@ class ThreeBodyJastrow:
         _, g, _ = self._e_terms(params, state.positions, e, epos, True)
         return g
 
+    def gradient_value_pair(self, params, state, e, epos_old, epos_new):
+        X = jnp.stack([epos_old, epos_new], axis=1)
+        u, g, _ = self._e_terms(params, state.positions, e, X, True)
+        du = u[:, 1] - u[:, 0]
+        return g[:, 0], g[:, 1], jnp.exp(du), {"du": du}
+
     def gradient_laplacian(self, params, state, e, epos):
         _, g, lap = self._e_terms(params, state.positions, e, epos, True)
         return g, lap + jnp.sum(g * g, axis=-1)

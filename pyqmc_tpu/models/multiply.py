@@ -57,6 +57,16 @@ class MultiplyWF:
             g = gi if g is None else g + gi
         return g
 
+    def gradient_value_pair(self, params, state, e, epos_old, epos_new):
+        go, gn, ratio, saved = None, None, None, []
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            goi, gni, ri, svi = w.gradient_value_pair(p, s, e, epos_old, epos_new)
+            go = goi if go is None else go + goi
+            gn = gni if gn is None else gn + gni
+            ratio = ri if ratio is None else ratio * ri
+            saved.append(svi)
+        return go, gn, ratio, tuple(saved)
+
     def gradient_value(self, params, state, e, epos):
         g, ratio, saved = None, None, []
         for w, p, s in zip(self.wfs, self._split(params), state):

@@ -250,6 +250,27 @@ class Slater:
         g, _, _ = self.gradient_value(params, state, e, epos)
         return g
 
+    def gradient_value_pair(self, params, state, e, epos_old, epos_new):
+        """Fused old/new evaluation for the Metropolis sweep: one AO pass
+        for (grad at old pos, grad at new pos, ratio new/current, saved).
+
+        Halves the dominant per-move kernel cost vs calling gradient() and
+        gradient_value() separately (the reference evaluates twice,
+        mc.py:112-124).
+        """
+        X = jnp.stack([epos_old, epos_new], axis=1)  # (c, 2, 3)
+        mo_up, mo_dn, gmo_up, gmo_dn = self.orbitals.eval(params, X, 1)
+        nconf = X.shape[0]
+        r = self._ratio_terms(params, state, e, mo_up, mo_dn)  # (c, 2)
+        gfu = gmo_up.reshape(nconf, 6, -1)
+        gfd = gmo_dn.reshape(nconf, 6, -1)
+        gr = self._ratio_terms(params, state, e, gfu, gfd).reshape(nconf, 2, 3)
+        grad_old = gr[:, 0] / r[:, 0, None]
+        grad_new = gr[:, 1] / r[:, 1, None]
+        ratio = r[:, 1] / r[:, 0]
+        saved = {"mo_up": mo_up[:, 1], "mo_dn": mo_dn[:, 1]}
+        return grad_old, grad_new, ratio, saved
+
     def gradient_laplacian(self, params, state, e, epos):
         """(grad psi/psi, lap psi/psi) both at epos."""
         mo_up, mo_dn, gmo_up, gmo_dn, lmo_up, lmo_dn = self.orbitals.eval(

@@ -84,6 +84,25 @@ def test_testvalue_many(wf, params, configs, key, tol=1e-9):
         assert err < tol * (1 + float(jnp.max(jnp.abs(one)))), (e, err)
 
 
+def test_gradient_value_pair(wf, params, configs, key, tol=1e-10):
+    """gradient_value_pair must agree with separate gradient/gradient_value
+    calls (fused two-position utility path)."""
+    pos = configs.positions
+    nconf = pos.shape[0]
+    state = wf.recompute(params, pos)
+    key, k1 = jax.random.split(key)
+    e = jnp.int32(0)
+    epos_old = pos[:, 0, :]
+    epos_new = epos_old + 0.4 * jax.random.normal(k1, (nconf, 3), dtype=pos.dtype)
+    go, gn, ratio, _ = wf.gradient_value_pair(params, state, e, epos_old, epos_new)
+    go_ref = wf.gradient(params, state, e, epos_old)
+    gn_ref, r_ref, _ = wf.gradient_value(params, state, e, epos_new)
+    for a, b in ((go, go_ref), (gn, gn_ref), (ratio, r_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) < tol * (
+            1 + float(jnp.max(jnp.abs(b)))
+        )
+
+
 def test_gradient(wf, params, configs, key, delta=1e-5, tol=1e-5):
     """grad log psi vs finite differences (testwf.py:149-185)."""
     pos = configs.positions
@@ -164,6 +183,8 @@ def run_all(wf, params, configs, key, tols=()):
     test_testvalue(wf, params, configs, key)
     if hasattr(wf, "testvalue_many"):
         test_testvalue_many(wf, params, configs, key)
+    if hasattr(wf, "gradient_value_pair"):
+        test_gradient_value_pair(wf, params, configs, key)
     test_gradient(wf, params, configs, key)
     test_gradient_laplacian(wf, params, configs, key)
     test_pgradient(wf, params, configs, key)
