@@ -37,6 +37,11 @@ class Geometry:
             self.lattice = np.asarray(lattice, dtype=np.float64)
             self.lattice_inv = np.linalg.inv(self.lattice)
         self.mode = _dist.classify_lattice(lattice)
+        self._shifts = (
+            _dist._image_shifts(self.lattice)
+            if self.mode == _dist.MODE_GENERAL
+            else None
+        )
 
     @property
     def periodic(self) -> bool:
@@ -44,13 +49,25 @@ class Geometry:
 
     # --- distance kernels bound to this lattice -------------------------
     def minimal_image(self, d):
-        return _dist.minimal_image(d, self._lat(), self._lat_inv(), self.mode)
+        return _dist.minimal_image(
+            d, self._lat(), self._lat_inv(), self.mode, self._shifts_dev()
+        )
 
     def dist_matrix(self, positions):
-        return _dist.dist_matrix(positions, self._lat(), self._lat_inv(), self.mode)
+        return _dist.dist_matrix(
+            positions, self._lat(), self._lat_inv(), self.mode, self._shifts_dev()
+        )
 
     def dist_i(self, positions, epos):
-        return _dist.dist_i(positions, epos, self._lat(), self._lat_inv(), self.mode)
+        return _dist.dist_i(
+            positions, epos, self._lat(), self._lat_inv(), self.mode,
+            self._shifts_dev()
+        )
+
+    def _shifts_dev(self):
+        import jax.numpy as _jnp
+
+        return None if self._shifts is None else _jnp.asarray(self._shifts)
 
     def enforce(self, epos):
         """Fold epos into the cell; returns (wrapped, wrap). Identity if open."""

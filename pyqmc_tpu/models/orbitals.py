@@ -103,7 +103,15 @@ class KPointOrbitals:
     (param_split semantics of orbitals.py:221-239).
     """
 
-    def __init__(self, cell, kpts, mo_coeff, images=None, img_tol=1e-6):
+    def __init__(self, cell, kpts, mo_coeff, images=None, img_tol=1e-6,
+                 realify="auto"):
+        """realify: at time-reversal-invariant k (k = -k mod G, e.g. gamma
+        and half-integer Monkhorst-Pack points) all Bloch phases are +-1 and
+        each orbital can be rotated to a real vector; the whole evaluator
+        then runs in real arithmetic (required on TPU backends without
+        complex support; also ~2x cheaper). "auto" realifies when every k is
+        TRIM and the rotation residual is < 1e-6.
+        """
         self.spec = GTOSpec.from_molecule(cell)
         self.lattice = np.asarray(cell.lattice, dtype=np.float64)
         self.lattice_inv = np.linalg.inv(self.lattice)
@@ -115,16 +123,52 @@ class KPointOrbitals:
                 self.lattice, cell.shells, cell.atom_coords, img_tol
             )
         )
-        # phases e^{i k.L}: (nimg, nk)
-        self.img_phases = np.exp(1j * self.images @ self.kpts.T)
         self._mo = []
         for spin in range(2):
             blocks = [np.asarray(c) for c in mo_coeff[spin]]
             self._mo.append(blocks)
+
+        # TRIM detection: k.a_i in {0, pi} mod 2pi for every lattice vector
+        ka = self.kpts @ self.lattice.T  # (nk, 3)
+        frac2 = ka / np.pi
+        is_trim = np.all(np.abs(frac2 - np.round(frac2)) < 1e-8)
+        self.real_mode = False
+        if realify in (True, "auto") and is_trim:
+            rotated, ok = self._try_realify()
+            if ok:
+                self._mo = rotated
+                self.real_mode = True
+            elif realify is True:
+                raise ValueError("realify requested but orbitals are not "
+                                 "phase-rotatable to real vectors")
+
+        # phases e^{i k.L}: (nimg, nk); exactly +-1 in real mode
+        ph = np.exp(1j * self.images @ self.kpts.T)
+        self.img_phases = np.real(ph) if self.real_mode else ph
         self.norb = tuple(
             sum(b.shape[1] for b in self._mo[s]) for s in range(2)
         )
         self.nk = len(self.kpts)
+
+    def _try_realify(self, tol=1e-6):
+        out = []
+        for spin in range(2):
+            blocks = []
+            for c in self._mo[spin]:
+                c = np.asarray(c, dtype=np.complex128)
+                cols = []
+                for j in range(c.shape[1]):
+                    v = c[:, j]
+                    theta = 0.5 * np.angle(np.sum(v * v))
+                    r = v * np.exp(-1j * theta)
+                    if np.max(np.abs(r.imag)) > tol * max(
+                        1.0, np.max(np.abs(r.real))
+                    ):
+                        return None, False
+                    cols.append(r.real)
+                blocks.append(np.stack(cols, axis=1))
+            out.append(blocks)
+        return out, True
 
     def make_params(self):
         return {
@@ -133,14 +177,20 @@ class KPointOrbitals:
         }
 
     def _fold(self, X):
-        """Fold raw positions; returns (Xfold, wrapphase (..., nk) complex)."""
+        """Fold raw positions; returns (Xfold, wrapphase (..., nk)).
+
+        Wrap phase is e^{i k.(w A)} (complex), or cos(k.(w A)) = +-1 exactly
+        in real (TRIM) mode.
+        """
         frac = X @ jnp.asarray(self.lattice_inv, X.dtype)
         wrap = jnp.floor(frac)
         Xf = (frac - wrap) @ jnp.asarray(self.lattice, X.dtype)
-        # true position = Xf + wrap @ lattice; psi_k(true) = e^{i k.(wrap A)} psi_k(folded)
         wrapcart = wrap @ jnp.asarray(self.lattice, X.dtype)
-        phase = jnp.exp(1j * (wrapcart @ jnp.asarray(self.kpts.T, X.dtype)))
-        return Xf, phase
+        karg = wrapcart @ jnp.asarray(self.kpts.T, X.dtype)
+        if self.real_mode:
+            # k.(wA) = pi * integer at TRIM points: round to exact +-1
+            return Xf, jnp.where(jnp.cos(karg) > 0, 1.0, -1.0).astype(X.dtype)
+        return Xf, jnp.exp(1j * karg)
 
     def _kaos(self, X, mode: int):
         """Complex k-AOs phi^k_mu at folded X: returns tuple of arrays

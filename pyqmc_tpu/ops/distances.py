@@ -47,10 +47,12 @@ def _image_shifts(lattice: np.ndarray) -> np.ndarray:
     return pts @ np.asarray(lattice)
 
 
-def minimal_image(d, lattice, lattice_inv, mode: str):
+def minimal_image(d, lattice, lattice_inv, mode: str, shifts=None):
     """Map displacement vectors d (..., 3) to their minimal image.
 
-    `mode` must come from classify_lattice and is static under jit.
+    `mode` must come from classify_lattice and is static under jit. For the
+    general mode, `shifts` must be the static (27, 3) image translations
+    (precompute host-side with _image_shifts; lattice may be traced).
     """
     if mode == MODE_OPEN:
         return d
@@ -62,19 +64,21 @@ def minimal_image(d, lattice, lattice_inv, mode: str):
     frac = d @ lattice_inv
     frac = frac - jnp.round(frac)
     base = frac @ lattice
-    shifts = jnp.asarray(_image_shifts(np.asarray(lattice)))  # (27, 3)
-    cand = base[..., None, :] + shifts  # (..., 27, 3)
+    if shifts is None:
+        shifts = jnp.asarray(_image_shifts(np.asarray(lattice)))  # (27, 3)
+    cand = base[..., None, :] + shifts.astype(d.dtype)  # (..., 27, 3)
     r2 = jnp.sum(cand * cand, axis=-1)
     idx = jnp.argmin(r2, axis=-1)
     return jnp.take_along_axis(cand, idx[..., None, None], axis=-2)[..., 0, :]
 
 
-def pair_displacements(pos_a, pos_b, lattice=None, lattice_inv=None, mode=MODE_OPEN):
+def pair_displacements(pos_a, pos_b, lattice=None, lattice_inv=None, mode=MODE_OPEN,
+                       shifts=None):
     """Displacements b - a for broadcastable (..., 3) arrays."""
-    return minimal_image(pos_b - pos_a, lattice, lattice_inv, mode)
+    return minimal_image(pos_b - pos_a, lattice, lattice_inv, mode, shifts)
 
 
-def dist_matrix(positions, lattice=None, lattice_inv=None, mode=MODE_OPEN):
+def dist_matrix(positions, lattice=None, lattice_inv=None, mode=MODE_OPEN, shifts=None):
     """All-pairs displacement matrix.
 
     Args:
@@ -87,10 +91,10 @@ def dist_matrix(positions, lattice=None, lattice_inv=None, mode=MODE_OPEN):
     vector-unit friendly masking beat the 2x FLOP saving on TPU.
     """
     d = positions[..., None, :, :] - positions[..., :, None, :]
-    return minimal_image(d, lattice, lattice_inv, mode)
+    return minimal_image(d, lattice, lattice_inv, mode, shifts)
 
 
-def dist_i(positions, epos, lattice=None, lattice_inv=None, mode=MODE_OPEN):
+def dist_i(positions, epos, lattice=None, lattice_inv=None, mode=MODE_OPEN, shifts=None):
     """Displacements from every row of positions (..., n, 3) to epos (..., 3)."""
     d = epos[..., None, :] - positions
-    return minimal_image(d, lattice, lattice_inv, mode)
+    return minimal_image(d, lattice, lattice_inv, mode, shifts)

@@ -44,9 +44,14 @@ for name in [
             elif key in scf:
                 data[key] = np.asarray(scf[key])
         data["atom_symbols"] = np.array([a[0] for a in mol["_atom"]], dtype="S4")
-        data["atom_coords"] = np.array([a[1] for a in mol["_atom"]])
+        data["atom_coords"] = np.array([a[1] for a in mol["_atom"]])  # always bohr
         if mol.get("a") is not None:
-            data["lattice"] = np.array(mol["a"])
+            lattice = np.array(mol["a"], dtype=float)
+            # mol["a"] is in the *input* unit; pyscf default is angstrom
+            unit = str(mol.get("unit", "angstrom")).lower()
+            if unit.startswith("a"):
+                lattice = lattice / 0.52917721092
+            data["lattice"] = lattice
         data["spin"] = np.array(mol.get("spin", 0))
         data["basis_json"] = np.array(json.dumps(mol["_basis"]), dtype="S")
         data["ecp_json"] = np.array(json.dumps(mol.get("_ecp", {})), dtype="S")
