@@ -39,7 +39,7 @@ def limdrift_umrigar(g, tau):
 
 
 def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
-                   tdamp=1.0, tmoves=True):
+                   tdamp=1.0, tmoves=True, accumulators=None):
     axis = mesh.axis_names[0] if mesh is not None else None
     nelec = wf.nelec
     ecp_acc = getattr(energy_acc, "ecp_acc", None)
@@ -81,7 +81,8 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
         if w is None:
             m = jnp.mean(x, axis=0)
             return jax.lax.pmean(m, axis) if axis else m
-        num = jnp.sum(w * x, axis=0)
+        wb = w.reshape(w.shape + (1,) * (x.ndim - 1))
+        num = jnp.sum(wb * x, axis=0)
         den = jnp.sum(w, axis=0)
         if axis:
             num = jax.lax.psum(num, axis)
@@ -158,6 +159,12 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             out = {"acceptance": acc / nelec}
             for k, v in edat.items():
                 out[f"energy{k}"] = pglobal_mean(v, weights)
+            for i, (name, a) in enumerate((accumulators or {}).items()):
+                dat = a(wf, params, state, positions,
+                        key=jax.random.fold_in(stepkey, 8000 + i))
+                for k, v in dat.items():
+                    # weight-averaged mixed estimator (dmc.py:201-217)
+                    out[f"{name}{k}"] = pglobal_mean(v, weights)
             out["weight"] = (
                 jax.lax.pmean(jnp.mean(weights), axis) if axis else jnp.mean(weights)
             )
@@ -299,7 +306,8 @@ def rundmc(
         weights = jax.device_put(weights, sh)
 
     block_fn, branch_fn = make_dmc_block(
-        wf, energy_acc, configs.geometry, tstep, nsteps_per_block, mesh=mesh
+        wf, energy_acc, configs.geometry, tstep, nsteps_per_block, mesh=mesh,
+        accumulators=accumulators,
     )
 
     block_data = []

@@ -34,7 +34,7 @@ def limdrift(g, cutoff=1.0):
 
 
 def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
-                   drift_cutoff=1.0, mesh=None):
+                   drift_cutoff=1.0, mesh=None, accumulate_every=1):
     """Build the jitted per-block VMC kernel.
 
     Returns block(params, positions, wrap, key) ->
@@ -92,21 +92,34 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         state = wf.recompute(params, positions)
 
-        def step_fn(carry, stepkey):
+        def step_fn(carry, scanned):
+            stepkey, do_acc = scanned
             positions, wrap, state = carry
             positions, wrap, state, acc = sweep(params, positions, wrap, state, stepkey)
-            out = {"acceptance": acc / nelec}
+            out = {"acceptance": acc / nelec, "_accw": do_acc}
             for i, (name, a) in enumerate(accumulators.items()):
                 akey = jax.random.fold_in(stepkey, 7000 + i)
                 for k, v in a.avg(wf, params, state, positions, key=akey).items():
-                    out[f"{name}{k}"] = v
+                    # zero out skipped steps; weighted mean taken below
+                    out[f"{name}{k}"] = v * do_acc
             return (positions, wrap, state), out
 
         keys = jax.random.split(key, nsteps)
-        (positions, wrap, state), outs = jax.lax.scan(
-            step_fn, (positions, wrap, state), keys
+        # accumulate observables every `accumulate_every`-th step (standard
+        # practice: local energies decorrelate slower than one sweep)
+        do_acc = (jnp.arange(nsteps) % accumulate_every == 0).astype(
+            positions.dtype
         )
-        avg = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+        (positions, wrap, state), outs = jax.lax.scan(
+            step_fn, (positions, wrap, state), (keys, do_acc)
+        )
+        accw = outs.pop("_accw")
+        nacc = jnp.sum(accw)
+        avg = {
+            k: (jnp.mean(v, axis=0) if k == "acceptance"
+                else jnp.sum(v, axis=0) / nacc)
+            for k, v in outs.items()
+        }
         if axis is not None:
             # equal shard sizes -> global mean = pmean of local means
             avg = jax.lax.pmean(avg, axis)
@@ -137,6 +150,7 @@ def vmc(
     nsteps_per_block: int = 10,
     tstep: float = 0.5,
     accumulators: Optional[dict] = None,
+    accumulate_every: int = 1,
     key=None,
     hdf_file: Optional[str] = None,
     verbose: bool = False,
@@ -164,7 +178,7 @@ def vmc(
     if block_fn is None:
         block_fn = make_vmc_block(
             wf, accumulators, configs.geometry, tstep=tstep,
-            nsteps=nsteps_per_block, mesh=mesh,
+            nsteps=nsteps_per_block, mesh=mesh, accumulate_every=accumulate_every,
         )
     positions, wrap = configs.positions, configs.wrap
     if mesh is not None:

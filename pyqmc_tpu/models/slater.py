@@ -326,6 +326,51 @@ class Slater:
             return dn_branch(state)
         return jax.lax.cond(pred, up_branch, dn_branch, state)
 
+    def _pgradient_kpoint(self, params, positions, state, w, denom):
+        """Orbital-coefficient gradients for KPointOrbitals.
+
+        Same tr(M^-1 dM) machinery as the molecular case, per k block. For
+        complex coefficients returns the Re/Im-packed gradient of log|psi|
+        (= conj of the holomorphic d log psi / dC).
+        """
+        kaos = self.orbitals._kaos(positions, 0)[0]  # (c, ne, nk, nao)
+        mu = jnp.asarray(self.expansion.map_up)
+        md = jnp.asarray(self.expansion.map_dn)
+        offs = {}
+        out = {}
+        for spin, (inv, occ, mp, sl, cname) in enumerate((
+            (state.inv_up, self.expansion.occ_up, mu, slice(0, self.nup),
+             "mo_coeff_alpha"),
+            (state.inv_dn, self.expansion.occ_dn, md, slice(self.nup, None),
+             "mo_coeff_beta"),
+        )):
+            blocks = params[cname]
+            nd, n = occ.shape
+            if n == 0:
+                out[cname] = [
+                    jnp.zeros((positions.shape[0],) + b.shape, b.dtype)
+                    for b in blocks
+                ]
+                continue
+            sel = (mp[:, None] == jnp.arange(nd)[None, :]).astype(w.dtype)
+            wk = (w @ sel) / denom[:, None]  # (c, nd)
+            occf = jnp.asarray(occ)  # (nd, n)
+            grads = []
+            off = 0
+            for k, b in enumerate(blocks):
+                nocc_k = b.shape[1]
+                ao_k = kaos[:, sl, k, :]  # (c, n_s, nao)
+                # t[c, d, j, mu] = sum_i inv[c,d,j,i] ao_k[c,i,mu]
+                t = jnp.einsum("ckji,cim->ckjm", inv, ao_k)
+                onehot = (
+                    occf[..., None] == (off + jnp.arange(nocc_k))
+                ).astype(w.dtype)  # (nd, n, nocc_k)
+                dC = jnp.einsum("ck,ckjm,kjo->cmo", wk, t, onehot)
+                grads.append(jnp.conj(dC) if jnp.iscomplexobj(dC) else dC)
+                off += nocc_k
+            out[cname] = grads
+        return out
+
     def pgradient(self, params, positions):
         """d log psi / d params, per walker (pytree of (nconf, ...)).
 
@@ -341,15 +386,8 @@ class Slater:
         dDet = (w / params["det_coeff"][None, :]) / denom[:, None]
         out = {"det_coeff": jnp.real(dDet)}
 
-        # orbital coefficients (only for the molecular evaluator layout)
         if not isinstance(self.orbitals, MolecularOrbitals):
-            zero = {
-                k: jax.tree.map(
-                    lambda x: jnp.zeros((positions.shape[0],) + x.shape, x.dtype), v
-                )
-                for k, v in self.orbitals.make_params().items()
-            }
-            out.update(zero)
+            out.update(self._pgradient_kpoint(params, positions, state, w, denom))
             return out
 
         from ..ops.gto import eval_gto
