@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 """H2O Slater-Jastrow: optimize then measure (counterpart of the reference's
 recipes workflow)."""
 

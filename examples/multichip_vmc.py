@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 """Walker-parallel VMC over a device mesh.
 
 On a TPU pod slice this runs one block as a single SPMD program per chip

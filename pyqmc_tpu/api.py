@@ -32,7 +32,7 @@ from .method.optvariance import optvariance
 from .method.extrapolate import tstep_extrapolate
 from .models.addwf import AddWF
 from .models.generic_jastrow import GeminalJastrow, GPSJastrow
-from .system.casci import run_casci
+from .system.casci import run_casci, run_hci
 from .system.io import save_system, load_system
 from .wftools import generate_wf, generate_slater, generate_jastrow
 from .recipes import OPTIMIZE, VMC, DMC, read_mc_output

@@ -141,7 +141,12 @@ def _parse_ecp(mol) -> List[_AtomECP]:
 class ECPAccumulator:
     """ecp(wf, params, state, positions, key) -> per-walker ECP energy."""
 
-    def __init__(self, mol, naip: int = 6, rmax: float = 10.0):
+    def __init__(self, mol, naip: int = 6, rmax: float = 10.0, nselect=None):
+        """nselect: static number of quadrature points actually evaluated
+        per electron (importance downselection, jax_ecp.py:217-272): the
+        |T_q|-largest nselect//2 points are kept deterministically, the rest
+        sampled with replacement with p ~ |T_q| and reweighted (unbiased).
+        None = dense evaluation of all natoms_ecp * naip points."""
         self.atoms = _parse_ecp(mol)
         self.atom_coords = np.asarray(mol.atom_coords)
         self.naip = naip
@@ -150,15 +155,16 @@ class ECPAccumulator:
         self.quad_w = w
         self.nelec = sum(mol.nelec)
         self.rmax = rmax  # beyond this the nonlocal projection is negligible
+        self.nselect = nselect
 
     @property
     def active(self):
         return len(self.atoms) > 0
 
-    def _electron_quadrature(self, wf, params, state, positions, e, key):
-        """Quadrature data for electron e.
+    def _quadrature_geometry(self, positions, e, key):
+        """aux points and matrix-element weights for electron e (no wf calls).
 
-        Returns (aux (c, A*naip, 3), T (c, A*naip), ratios (c, A*naip)) with
+        Returns (aux (c, A*naip, 3), T (c, A*naip), None) with
         T_q = sum_l (2l+1) v_l(r_I) P_l(costh_q) w_q the off-diagonal matrix
         element weight, so the nonlocal energy is sum_q T_q Re(ratio_q) and
         T-move amplitudes are tau * max(0, -T_q Re(ratio_q)).
@@ -187,15 +193,57 @@ class ECPAccumulator:
             Ts.append(T)
         aux_all = jnp.concatenate(auxs, axis=1)  # (c, A*naip, 3)
         T_all = jnp.concatenate(Ts, axis=1)
+        return aux_all, T_all, None
+
+    def _electron_quadrature(self, wf, params, state, positions, e, key):
+        """Dense quadrature incl. wavefunction ratios at every point."""
+        aux_all, T_all, _ = self._quadrature_geometry(positions, e, key)
         ratios, _ = wf.testvalue(params, state, e, aux_all)
         return aux_all, T_all, ratios
 
     def _nonlocal_electron(self, wf, params, state, positions, e, key):
         """Nonlocal ECP energy contribution of electron e (nconf,)."""
-        _, T, ratios = self._electron_quadrature(
+        nq_total = len(self.atoms) * self.naip
+        if self.nselect is None or self.nselect >= nq_total:
+            _, T, ratios = self._electron_quadrature(
+                wf, params, state, positions, e, key
+            )
+            return jnp.sum(T * jnp.real(ratios), axis=1)
+        return self._nonlocal_electron_downselect(
             wf, params, state, positions, e, key
         )
-        return jnp.sum(T * jnp.real(ratios), axis=1)
+
+    def _nonlocal_electron_downselect(self, wf, params, state, positions, e, key):
+        """Evaluate only nselect points: |T|-top-k deterministic + stochastic
+        remainder with importance reweighting (unbiased; static shapes)."""
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+        aux, T, _ = self._quadrature_geometry(positions, e, key)
+        nq = T.shape[1]
+        ndet = self.nselect // 2
+        nstoch = self.nselect - ndet
+        absT = jnp.abs(T)
+        # deterministic top-k
+        topv, topi = jax.lax.top_k(absT, ndet)  # (c, ndet)
+        # stochastic remainder: zero out the deterministic picks
+        rest = absT.at[jnp.arange(nconf)[:, None], topi].set(0.0)
+        norm = jnp.sum(rest, axis=1, keepdims=True)
+        safe = jnp.where(norm == 0, 1.0, norm)
+        p = rest / safe  # (c, nq)
+        sidx = jax.random.categorical(
+            jax.random.fold_in(key, 777),
+            jnp.log(jnp.maximum(p, 1e-30)), shape=(nstoch, nconf)
+        ).T  # (c, nstoch)
+        # reweighting: deterministic weight 1; stochastic T_q / (nstoch p_q)
+        pw = jnp.take_along_axis(p, sidx, axis=1)
+        any_rest = (norm[:, 0] > 0).astype(dtype)
+        wstoch = any_rest[:, None] / (nstoch * jnp.maximum(pw, 1e-30))
+        idx = jnp.concatenate([topi, sidx], axis=1)  # (c, nsel)
+        wts = jnp.concatenate([jnp.ones_like(topv), wstoch], axis=1)
+        Tsel = jnp.take_along_axis(T, idx, axis=1) * wts
+        aux_sel = jnp.take_along_axis(aux, idx[:, :, None], axis=1)
+        ratios, _ = wf.testvalue(params, state, e, aux_sel)
+        return jnp.sum(Tsel * jnp.real(ratios), axis=1)
 
     def tmove_data(self, wf, params, state, positions, e, key, tau):
         """T-move proposal set for electron e (Casula size-consistent form,

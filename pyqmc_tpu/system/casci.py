@@ -214,3 +214,178 @@ def run_casci(mf, ncas, nelecas: Tuple[int, int], nroots=1, tol=1e-6):
         )
         results.append((exp, coeff))
     return energies, results
+
+
+# ---------------------------------------------------------------------------
+# Selected CI (heat-bath / HCI style)
+# ---------------------------------------------------------------------------
+
+def _sc_element(h1, eri, det1, det2):
+    """Slater-Condon matrix element between determinants (sa, sb) given as
+    frozensets of spatial-orbital indices per spin."""
+    sa1, sb1 = det1
+    sa2, sb2 = det2
+    da = len(sa1 - sa2)
+    db = len(sb1 - sb2)
+    if da + db > 2:
+        return 0.0
+    if da == 0 and db == 0:
+        e = sum(h1[o, o] for o in sa1) + sum(h1[o, o] for o in sb1)
+        for o1 in sa1:
+            for o2 in sa1:
+                e += 0.5 * (eri[o1, o1, o2, o2] - eri[o1, o2, o2, o1])
+            for o2 in sb1:
+                e += eri[o1, o1, o2, o2]
+        for o1 in sb1:
+            for o2 in sb1:
+                e += 0.5 * (eri[o1, o1, o2, o2] - eri[o1, o2, o2, o1])
+        return e
+    if da == 1 and db == 0:
+        ex = _excitation(sa1, sa2)
+        if ex is None:
+            return 0.0
+        sgn, (i, a) = ex
+        val = h1[i, a]
+        for o in sa1:
+            if o != i:
+                val += eri[i, a, o, o] - eri[i, o, o, a]
+        for o in sb1:
+            val += eri[i, a, o, o]
+        return sgn * val
+    if da == 0 and db == 1:
+        ex = _excitation(sb1, sb2)
+        if ex is None:
+            return 0.0
+        sgn, (i, a) = ex
+        val = h1[i, a]
+        for o in sb1:
+            if o != i:
+                val += eri[i, a, o, o] - eri[i, o, o, a]
+        for o in sa1:
+            val += eri[i, a, o, o]
+        return sgn * val
+    if da == 2 and db == 0:
+        d1 = sorted(sa1 - sa2)
+        d2 = sorted(sa2 - sa1)
+        i, j = d1
+        a, b = d2
+        sgn = _double_sign(sa1, (i, j), (a, b))
+        return sgn * (eri[i, a, j, b] - eri[i, b, j, a])
+    if da == 0 and db == 2:
+        d1 = sorted(sb1 - sb2)
+        d2 = sorted(sb2 - sb1)
+        i, j = d1
+        a, b = d2
+        sgn = _double_sign(sb1, (i, j), (a, b))
+        return sgn * (eri[i, a, j, b] - eri[i, b, j, a])
+    # da == 1 and db == 1
+    exa = _excitation(sa1, sa2)
+    exb = _excitation(sb1, sb2)
+    if exa is None or exb is None:
+        return 0.0
+    sgna, (i, a) = exa
+    sgnb, (j, b) = exb
+    return sgna * sgnb * eri[i, a, j, b]
+
+
+def _connected(det, ncas):
+    """All single+double excitations of det = (sa, sb)."""
+    sa, sb = det
+    virt_a = [o for o in range(ncas) if o not in sa]
+    virt_b = [o for o in range(ncas) if o not in sb]
+    out = set()
+    singles_a = []
+    for i in sa:
+        for a in virt_a:
+            s2 = frozenset(sa - {i} | {a})
+            singles_a.append(s2)
+            out.add((s2, sb))
+    singles_b = []
+    for i in sb:
+        for a in virt_b:
+            s2 = frozenset(sb - {i} | {a})
+            singles_b.append(s2)
+            out.add((sa, s2))
+    import itertools as _it
+
+    for (i, j) in _it.combinations(sorted(sa), 2):
+        for (a, b) in _it.combinations(virt_a, 2):
+            out.add((frozenset(sa - {i, j} | {a, b}), sb))
+    for (i, j) in _it.combinations(sorted(sb), 2):
+        for (a, b) in _it.combinations(virt_b, 2):
+            out.add((sa, frozenset(sb - {i, j} | {a, b})))
+    for s2a in singles_a:
+        for s2b in singles_b:
+            out.add((s2a, s2b))
+    return out
+
+
+def run_hci(mf, ncas, nelecas, eps1=1e-3, nroots=1, max_rounds=12, tol=1e-9):
+    """Heat-bath style selected CI (HCI variational stage,
+    pyscftools.deters_from_hci parity without pyscf).
+
+    Iteratively adds determinants d with |H_dI c_I| > eps1 for any selected
+    I, rediagonalizing until the set is stable. eps1 -> 0 recovers CASCI.
+    Returns (energies, [(DeterminantExpansion, det_coeff) per root]).
+    """
+    nup_tot, ndn_tot = mf.mol.nelec
+    ncore = nup_tot - nelecas[0]
+    h1, eri, ecore = _mo_integrals(mf, ncore, ncas)
+    hf = (frozenset(range(nelecas[0])), frozenset(range(nelecas[1])))
+    selected = [hf]
+    coeffs = np.array([1.0])
+    for _round in range(max_rounds):
+        sel_set = set(selected)
+        new = set()
+        for I, det in enumerate(selected):
+            cI = coeffs[I]
+            if abs(cI) < 1e-12:
+                continue
+            for cand in _connected(det, ncas):
+                if cand in sel_set or cand in new:
+                    continue
+                if abs(_sc_element(h1, eri, cand, det) * cI) > eps1:
+                    new.add(cand)
+        if not new:
+            break
+        selected = selected + sorted(
+            new, key=lambda d: (sorted(d[0]), sorted(d[1]))
+        )
+        n = len(selected)
+        H = np.zeros((n, n))
+        for I in range(n):
+            for J in range(I, n):
+                H[I, J] = H[J, I] = _sc_element(h1, eri, selected[I], selected[J])
+        w, v = np.linalg.eigh(H)
+        coeffs = v[:, 0]
+    n = len(selected)
+    H = np.zeros((n, n))
+    for I in range(n):
+        for J in range(I, n):
+            H[I, J] = H[J, I] = _sc_element(h1, eri, selected[I], selected[J])
+    w, v = np.linalg.eigh(H)
+    energies = w[:nroots] + ecore
+    core = list(range(ncore))
+    results = []
+    for root in range(min(nroots, n)):
+        ci = v[:, root]
+        keep = np.abs(ci) > tol
+        dets = [selected[i] for i in np.nonzero(keep)[0]]
+        cs = ci[keep]
+        ua = sorted({d[0] for d in dets}, key=sorted)
+        ub = sorted({d[1] for d in dets}, key=sorted)
+        amap = {s: k for k, s in enumerate(ua)}
+        bmap = {s: k for k, s in enumerate(ub)}
+        occ_up = np.array([core + [ncore + o for o in sorted(s)] for s in ua])
+        occ_dn = np.array([core + [ncore + o for o in sorted(s)] for s in ub])
+        map_up = np.array([amap[d[0]] for d in dets])
+        map_dn = np.array([bmap[d[1]] for d in dets])
+        results.append(
+            (
+                DeterminantExpansion(
+                    occ_up=occ_up, occ_dn=occ_dn, map_up=map_up, map_dn=map_dn
+                ),
+                cs,
+            )
+        )
+    return energies, results

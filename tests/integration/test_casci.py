@@ -55,3 +55,18 @@ def test_vmc_on_casci_wf():
     en = np.array([d["energytotal"] for d in data[8:]])
     mean, sem = en.mean(), en.std(ddof=1) / np.sqrt(len(en))
     assert abs(mean - energies[0]) < 5 * max(sem, 5e-4), (mean, energies[0], sem)
+
+
+def test_hci_selected_ci():
+    """HCI: eps->0 recovers CASCI; finite eps selects fewer determinants
+    variationally above it (pyscftools.deters_from_hci parity, standalone)."""
+    from pyqmc_tpu.system.casci import run_hci
+
+    mol = Molecule("Li 0 0 0; H 0 0 3.015", basis="sto-3g")
+    mf = run_scf(mol)
+    e_cas, _ = run_casci(mf, ncas=4, nelecas=(1, 1))
+    e_tight, roots_tight = run_hci(mf, ncas=4, nelecas=(1, 1), eps1=1e-9)
+    e_loose, roots_loose = run_hci(mf, ncas=4, nelecas=(1, 1), eps1=5e-3)
+    assert abs(e_tight[0] - e_cas[0]) < 1e-8
+    assert e_loose[0] >= e_cas[0] - 1e-10
+    assert len(roots_loose[0][1]) < len(roots_tight[0][1])

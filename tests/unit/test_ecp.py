@@ -113,3 +113,32 @@ def test_ccecp_li_parses():
     assert acc.active
     # local channel contains the +Zeff/r * e^{-ar^2} counterterm (power 1)
     assert 1 in acc.atoms[0].local.powers
+
+
+def test_downselection_unbiased():
+    """Importance-downselected ECP is an unbiased estimator of the dense sum."""
+    import jax.numpy as jnp
+    from pyqmc_tpu.system.scf import run_scf
+    from pyqmc_tpu.configs import initial_guess
+
+    mol = Molecule(
+        "C 0 0 0; C 2.9 0 0; C 0 2.9 0; C 2.9 2.9 0",
+        basis="ccecpccpvdz", ecp="ccecp", spin=0,
+    )
+    mf = run_scf(mol)
+    from pyqmc_tpu.models.slater import Slater as _S
+
+    wf = _S.from_mean_field(mf)
+    p = wf.make_params()
+    cfg = initial_guess(mol, 20, key=jax.random.PRNGKey(0))
+    st = wf.recompute(p, cfg.positions)
+    dense = ECPAccumulator(mol, naip=6)
+    down = ECPAccumulator(mol, naip=6, nselect=8)
+    f = jax.jit(lambda k: down(wf, p, st, cfg.positions, k))
+    fd = jax.jit(lambda k: dense(wf, p, st, cfg.positions, k))
+    keys = [jax.random.PRNGKey(10 + i) for i in range(150)]
+    sd = np.stack([np.asarray(f(k)) for k in keys])
+    dd = np.stack([np.asarray(fd(k)) for k in keys])
+    sem = sd.std(axis=0) / np.sqrt(len(keys))
+    z = np.abs(sd.mean(axis=0) - dd.mean(axis=0)) / np.maximum(sem, 1e-12)
+    assert z.max() < 4.5, z.max()
