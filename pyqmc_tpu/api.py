@@ -13,6 +13,8 @@ from .models.jastrow import JastrowSpin
 from .models.jastrow3 import ThreeBodyJastrow
 from .models.multiply import MultiplyWF
 from .models.orbitals import MolecularOrbitals, KPointOrbitals
+from .models.slater_embedded import EmbeddedKSlater
+from .method.twist_average import twist_average_vmc, build_twist_wf
 from .observables.accumulators import EnergyAccumulator
 from .observables.ecp import ECPAccumulator
 from .observables.ewald import Ewald

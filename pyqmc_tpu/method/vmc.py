@@ -126,7 +126,7 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
         return positions, wrap, avg
 
     if mesh is None:
-        return jax.jit(block)
+        return jax.jit(block, donate_argnums=(1, 2))
 
     from jax.sharding import PartitionSpec as P
 
@@ -138,7 +138,8 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
             in_specs=(P(), pw, pw, P()),
             out_specs=(pw, pw, P()),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(1, 2),
     )
 
 

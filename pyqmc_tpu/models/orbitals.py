@@ -223,6 +223,72 @@ class KPointOrbitals:
         ]
         return jnp.concatenate(outs, axis=-1)
 
+    # --- real-pair path (for TPU backends without complex support) -------
+    def make_pair_params(self):
+        """Parameters with complex mo_coeff split into re/im real arrays."""
+        return {
+            "mo_coeff_alpha_re": [jnp.asarray(np.real(b)) for b in self._mo[0]],
+            "mo_coeff_alpha_im": [jnp.asarray(np.imag(b)) for b in self._mo[0]],
+            "mo_coeff_beta_re": [jnp.asarray(np.real(b)) for b in self._mo[1]],
+            "mo_coeff_beta_im": [jnp.asarray(np.imag(b)) for b in self._mo[1]],
+        }
+
+    def _kaos_pair(self, X, mode: int):
+        """k-AOs as (re, im) real arrays — no complex ops anywhere.
+
+        Returns a list over derivative slots of ((..., nk, nao) re, im).
+        """
+        Xf, _ = self._fold(X)
+        frac = X @ jnp.asarray(self.lattice_inv, X.dtype)
+        wrapcart = jnp.floor(frac) @ jnp.asarray(self.lattice, X.dtype)
+        karg = wrapcart @ jnp.asarray(self.kpts.T, X.dtype)
+        cw, sw = jnp.cos(karg), jnp.sin(karg)  # (..., nk)
+        per_img = [eval_gto(self.spec, Xf, mode, shift=jnp.asarray(L, X.dtype))
+                   for L in self.images]
+        cosp = jnp.asarray(np.cos(self.images @ self.kpts.T), X.dtype)
+        sinp = jnp.asarray(np.sin(self.images @ self.kpts.T), X.dtype)
+        outs = []
+        nslots = 1 if mode == 0 else (2 if mode == 1 else 3)
+        for slot in range(nslots):
+            arrs = [p if mode == 0 else p[slot] for p in per_img]
+            if slot == 1 and mode >= 1:
+                stack = jnp.stack(arrs, axis=-3)  # (..., nimg, 3, nao)
+                re = jnp.einsum("...ixa,ik->...xka", stack, cosp)
+                im = jnp.einsum("...ixa,ik->...xka", stack, sinp)
+                wre = cw[..., None, :, None]
+                wim = sw[..., None, :, None]
+            else:
+                stack = jnp.stack(arrs, axis=-2)  # (..., nimg, nao)
+                re = jnp.einsum("...ia,ik->...ka", stack, cosp)
+                im = jnp.einsum("...ia,ik->...ka", stack, sinp)
+                wre = cw[..., :, None]
+                wim = sw[..., :, None]
+            outs.append((re * wre - im * wim, re * wim + im * wre))
+        return outs
+
+    def eval_pair(self, params, X, mode: int):
+        """Per-spin MO (re, im) pairs via real arithmetic only.
+
+        Returns, per derivative slot and per spin:
+          mode 0: (mo_up_re, mo_up_im, mo_dn_re, mo_dn_im)
+          mode>=1 appends the same 4-tuples for grad (and laplacian).
+        """
+        kaos = self._kaos_pair(X, mode)
+        out = []
+        for (are, aim) in kaos:
+            for spin, tag in ((0, "alpha"), (1, "beta")):
+                cre = params[f"mo_coeff_{tag}_re"]
+                cim = params[f"mo_coeff_{tag}_im"]
+                res, ims = [], []
+                for k in range(self.nk):
+                    ar = are[..., k, :]
+                    ai = aim[..., k, :]
+                    res.append(ar @ cre[k] - ai @ cim[k])
+                    ims.append(ar @ cim[k] + ai @ cre[k])
+                out.append(jnp.concatenate(res, axis=-1))
+                out.append(jnp.concatenate(ims, axis=-1))
+        return tuple(out)
+
     def eval(self, params, X, mode: int):
         kaos = self._kaos(X, mode)
         if mode == 0:
