@@ -119,3 +119,15 @@ def read_mc_output(filename, warmup=5, reblocks=16):
                 out[k] = s["mean"]
                 out[k + "_err"] = s["standard error"]
     return out
+
+
+def read_opt(filename):
+    """Summarize an optimization HDF5 output (recipes.py:212 parity)."""
+    import h5py
+
+    out = {}
+    with h5py.File(filename, "r") as f:
+        for k in ("energy", "energy_err", "gnorm", "tau"):
+            if k in f:
+                out[k] = np.asarray(f[k])
+    return out

@@ -77,3 +77,24 @@ def create_supercell_twists(supercell, primitive_kpts, tol=1e-8):
         key = tuple(f)
         groups.setdefault(key, []).append(i)
     return {k: np.asarray(v) for k, v in groups.items()}
+
+
+def replicate_jastrow_params(jastrow_prim, jastrow_super, params_prim):
+    """Map primitive-cell Jastrow coefficients onto a supercell Jastrow
+    (make_supercell_jastrow parity, pbc/supercell.py:81-91).
+
+    Atom-resolved acoeff rows are tiled over the replicas (supercell atoms
+    are ordered translation-major, matching get_supercell); bcoeff is
+    translation-invariant and copied.
+    """
+    import jax.numpy as jnp
+
+    nrep = jastrow_super.natom // jastrow_prim.natom
+    out = dict(params_prim)
+    if "acoeff" in params_prim:
+        out["acoeff"] = jnp.tile(params_prim["acoeff"], (nrep, 1, 1))
+    if "ccoeff" in params_prim:
+        out["ccoeff"] = jnp.tile(
+            params_prim["ccoeff"], (nrep,) + (1,) * (params_prim["ccoeff"].ndim - 1)
+        )
+    return out
