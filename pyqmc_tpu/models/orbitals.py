@@ -149,6 +149,55 @@ class KPointOrbitals:
             sum(b.shape[1] for b in self._mo[s]) for s in range(2)
         )
         self.nk = len(self.kpts)
+        # real-mode fast path: one replicated-shell evaluation with
+        # per-(shell, image) culling + a single phase matmul, instead of a
+        # loop of full-basis evaluations per image (the per-shell cutoff the
+        # reference implements inside its numba kernels, pbcgto.py:524-592)
+        self._repl = None
+        if self.real_mode:
+            self._build_replicated(cell, img_tol)
+
+    def _build_replicated(self, cell, tol):
+        import dataclasses as _dc
+
+        lat = self.lattice
+        ngrid = 6
+        fr = (np.arange(ngrid) + 0.5) / ngrid
+        grid = (
+            np.array(np.meshgrid(fr, fr, fr, indexing="ij")).reshape(3, -1).T @ lat
+        )
+        margin = 0.5 * np.linalg.norm(lat.sum(axis=0)) / ngrid
+        centers = []
+        repl = []
+        phase_rows = []  # (row block -> (orig shell, image idx))
+        nao = cell.nao
+        off = 0
+        for L, ph in zip(self.images, self.img_phases):
+            for sh in cell.shells:
+                c = cell.atom_coords[sh.atom] + L
+                rcut = np.sqrt(-np.log(tol) / float(np.min(sh.exps)))
+                if np.min(np.linalg.norm(grid - c[None], axis=1)) > rcut + margin:
+                    continue
+                repl.append(
+                    _dc.replace(sh, atom=len(centers), ao_offset=off)
+                )
+                centers.append(c)
+                phase_rows.append((sh, ph))
+                off += 2 * sh.l + 1
+        self._repl_spec = GTOSpec.from_shells(repl, np.asarray(centers), off)
+        # P: (nao_repl, nk * nao) real
+        P = np.zeros((off, self.nk * nao))
+        row = 0
+        for sh, ph in phase_rows:
+            nsph = 2 * sh.l + 1
+            for k in range(self.nk):
+                P[row : row + nsph,
+                  k * nao + sh.ao_offset : k * nao + sh.ao_offset + nsph] = (
+                    np.real(ph[k]) * np.eye(nsph)
+                )
+            row += nsph
+        self._repl = P
+        self._repl_nao = nao
 
     def _try_realify(self, tol=1e-6):
         out = []
@@ -195,6 +244,8 @@ class KPointOrbitals:
     def _kaos(self, X, mode: int):
         """Complex k-AOs phi^k_mu at folded X: returns tuple of arrays
         (..., nk, nao) [, (..., 3, nk, nao), (..., nk, nao)]."""
+        if self._repl is not None:
+            return self._kaos_replicated(X, mode)
         Xf, wphase = self._fold(X)
         per_img = []
         for L in self.images:
@@ -214,6 +265,24 @@ class KPointOrbitals:
         laps = jnp.stack([p[2] for p in per_img], axis=-2)
         l_k = jnp.einsum("...ia,ik->...ka", laps, ph) * wphase[..., :, None]
         return ao_k, g_k, l_k
+
+    def _kaos_replicated(self, X, mode: int):
+        """Real-mode fast path: culled replicated-shell eval + phase matmul."""
+        Xf, wphase = self._fold(X)  # wphase real (+-1) in real mode
+        P = jnp.asarray(self._repl, X.dtype)  # (nao_repl, nk*nao)
+        nao = self._repl_nao
+        out = eval_gto(self._repl_spec, Xf, mode)
+        if mode == 0:
+            out = (out,)
+        res = []
+        for slot, arr in enumerate(out):
+            shp = arr.shape[:-1]
+            ao_k = (arr @ P).reshape(shp + (self.nk, nao))
+            if slot == 1 and mode >= 1:
+                res.append(ao_k * wphase[..., None, :, None])
+            else:
+                res.append(ao_k * wphase[..., :, None])
+        return tuple(res)
 
     def _mos_from_kaos(self, params, ao_k, spin):
         """(..., nk, nao) -> (..., norb_s) concatenated over k."""

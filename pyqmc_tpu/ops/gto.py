@@ -51,10 +51,18 @@ class GTOSpec:
 
     @staticmethod
     def from_molecule(mol) -> "GTOSpec":
+        return GTOSpec.from_shells(mol.shells, np.asarray(mol.atom_coords), mol.nao)
+
+    @staticmethod
+    def from_shells(shell_list, atom_coords, nao) -> "GTOSpec":
+        """Build from an explicit shell table (each entry needs .l, .exps,
+        .coeffs, .atom, .ao_offset); used for replicated PBC shell tables
+        where every (shell, image) pair has its own center."""
+        mol_shells = shell_list
         groups = []
         concat_ao = []
-        for l in sorted({s.l for s in mol.shells}):
-            shells = [s for s in mol.shells if s.l == l]
+        for l in sorted({s.l for s in mol_shells}):
+            shells = [s for s in mol_shells if s.l == l]
             pmax = max(len(s.exps) for s in shells)
             alpha = np.zeros((len(shells), pmax))
             coef = np.zeros((len(shells), pmax))
@@ -83,8 +91,8 @@ class GTOSpec:
         return GTOSpec(
             groups=tuple(groups),
             perm=perm,
-            nao=mol.nao,
-            atom_coords=np.asarray(mol.atom_coords),
+            nao=nao,
+            atom_coords=np.asarray(atom_coords),
         )
 
 
