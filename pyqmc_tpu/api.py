@@ -14,6 +14,7 @@ from .models.jastrow3 import ThreeBodyJastrow
 from .models.multiply import MultiplyWF
 from .models.orbitals import MolecularOrbitals, KPointOrbitals
 from .models.slater_embedded import EmbeddedKSlater
+from .models.slater_pair import PairKSlater
 from .method.twist_average import twist_average_vmc, build_twist_wf
 from .observables.accumulators import EnergyAccumulator
 from .observables.ecp import ECPAccumulator
