@@ -24,20 +24,40 @@ class LinearTransform:
         if to_opt is None:
             masks = [np.ones(np.shape(l), dtype=bool) for l in leaves]
         else:
-            mleaves, mdef = jax.tree.flatten(
-                to_opt, is_leaf=lambda x: isinstance(x, (bool, np.ndarray))
-            )
-            masks = []
-            for l, m in zip(leaves, mleaves):
-                if isinstance(m, bool):
-                    masks.append(np.full(np.shape(l), m, dtype=bool))
-                else:
-                    masks.append(np.asarray(m, dtype=bool))
+            masks = self._expand_masks(params, to_opt)
         self.masks = masks
         self.indices = [np.nonzero(m.ravel())[0] for m in masks]
         self.sizes = [len(i) for i in self.indices]
         self.nparams = sum(self.sizes)
         self.shapes = [np.shape(l) for l in leaves]
+
+    @staticmethod
+    def _expand_masks(params, to_opt):
+        """Align to_opt (a tree *prefix* of params: scalar bools broadcast
+        over whole subtrees, e.g. a single False for a list of k-point
+        coefficient blocks) with the flattened parameter leaves."""
+        masks = []
+
+        def rec(p, m):
+            if isinstance(m, bool):
+                for leaf in jax.tree.leaves(p):
+                    masks.append(np.full(np.shape(leaf), m, dtype=bool))
+            elif isinstance(m, dict):
+                for k in sorted(p.keys()):  # match jax dict flatten order
+                    rec(p[k], m[k])
+            elif isinstance(m, (list, tuple)):
+                for pe, me in zip(p, m):
+                    rec(pe, me)
+            else:
+                masks.append(np.asarray(m, dtype=bool))
+
+        # dict flattening order is sorted keys; mirror it
+        if isinstance(params, dict):
+            for k in sorted(params.keys()):
+                rec(params[k], to_opt[k])
+        else:
+            rec(params, to_opt)
+        return masks
 
     def serialize(self, params):
         """params pytree -> flat (nparams,) vector (jit-safe)."""

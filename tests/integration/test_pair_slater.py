@@ -106,3 +106,41 @@ def test_pair_vmc_smoke(multidet_twist):
         key=jax.random.PRNGKey(5),
     )
     assert np.isfinite(data[-1]["energytotal"])
+
+
+@pytest.mark.slow
+def test_pair_det_coeff_optimization():
+    """SR/linemin over determinant coefficients of a general-twist
+    multi-det wavefunction (pair arithmetic); also regression-tests
+    LinearTransform prefix-bool masks over list-valued subtrees."""
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+    from pyqmc_tpu.observables.transform import LinearTransform
+    from pyqmc_tpu.method.linemin import line_minimization
+    from pyqmc_tpu.method.vmc import vmc
+
+    cell, d = load_cell("li_cubic_ccecp")
+    sup = get_supercell(cell, 2 * np.eye(3, dtype=int))
+    kpts = np.asarray(d["kpts"]) + np.array([0.027, -0.011, 0.019])
+    blocks = [np.asarray(d["mo_coeff"][k])[:, :2] for k in range(8)]
+    orb = KPointOrbitals(cell, kpts, (blocks, blocks), realify=False)
+    ground = np.arange(0, 16, 2)
+    exc = ground.copy(); exc[0] = 1
+    expn = DeterminantExpansion(
+        np.stack([ground, exc]), np.stack([ground, exc]),
+        np.array([0, 1, 0]), np.array([0, 0, 1]),
+    )
+    wf = PairKSlater(sup, orb, expn, det_coeff=np.array([0.6, 0.6, 0.5]))
+    params = wf.make_params()
+    lt = LinearTransform(params, {k: (k == "det_coeff") for k in params})
+    assert lt.nparams == 3
+    acc = EnergyAccumulator(sup)
+    cfg = initial_guess(sup, 150, key=jax.random.PRNGKey(10))
+    _, cfg = vmc(wf, params, cfg, nblocks=3, nsteps_per_block=8, tstep=1.0,
+                 key=jax.random.PRNGKey(11))
+    popt, cfg, recs = line_minimization(
+        wf, params, cfg, lt, acc, key=jax.random.PRNGKey(12),
+        max_iterations=5, vmc_blocks=4, vmc_tstep=1.0,
+    )
+    assert recs[-1]["energy"] < recs[0]["energy"] + 0.1
+    c = np.asarray(popt["det_coeff"])
+    assert c[0] > abs(c[1]) and c[0] > abs(c[2])  # ground det dominates
