@@ -72,16 +72,78 @@ def test_uhf_li_ccecp():
 
 @pytest.mark.slow
 def test_ccecp_pseudo_atoms():
-    """ccECP H/O entries: validated against exact ionic levels (see
-    basis.py comments); pseudo-atom UHF values recorded here.
-    Full pipeline check: ccECP H2O SJ-DMC extrapolated gives
-    -17.256(18) Ha (run offline; published ccECP-quality ~ -17.25)."""
+    """ccECP pseudo-atom anchors on the published H ECP digits (exact radial
+    1s level -0.50045) and the fitted O DZ basis (see basis.py provenance)."""
     mf_h = run_scf(Molecule("H 0 0 0", basis="ccecpccpvdz", ecp="ccecp", spin=1))
-    assert abs(mf_h.e_tot - (-0.50574)) < 1e-3
+    assert abs(mf_h.e_tot - (-0.4999996)) < 1e-3
     mf_o = run_scf(Molecule("O 0 0 0", basis="ccecpccpvdz", ecp="ccecp", spin=2))
-    assert abs(mf_o.e_tot - (-15.6694)) < 5e-3
+    assert abs(mf_o.e_tot - (-15.692342)) < 2e-3
     mf_w = run_scf(Molecule(
         "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
         basis="ccecpccpvdz", ecp="ccecp",
     ))
-    assert abs(mf_w.e_tot - (-16.9292)) < 5e-3
+    assert abs(mf_w.e_tot - (-16.926534)) < 2e-3
+
+
+def test_h_ccecp_radial_level():
+    """The published H ccECP local channel must bind the 1s at -0.50045 Ha
+    (grid solve; guards against exponent transposition in the tables)."""
+    import numpy as np
+    from scipy.linalg import eigh_tridiagonal
+    from pyqmc_tpu.system.basis import ECP_LIBRARY
+
+    ncore, channels = ECP_LIBRARY["ccecp"]["H"]
+    assert ncore == 0
+    (l, slots), = channels
+    assert l == -1
+    r = np.linspace(1e-7, 40.0, 100000)
+    h = r[1] - r[0]
+    V = -1.0 / r
+    for n, terms in enumerate(slots):
+        for exp, coef in terms:
+            V = V + coef * r ** (n - 2.0) * np.exp(-exp * r * r)
+    w = eigh_tridiagonal(
+        1.0 / h**2 + V, -0.5 / h**2 * np.ones(len(r) - 1),
+        select="i", select_range=(0, 0),
+    )[0]
+    assert abs(w[0] - (-0.50045)) < 5e-4
+
+
+def test_nwchem_parsers_roundtrip():
+    from pyqmc_tpu.system.basis import (
+        parse_nwchem_basis, parse_nwchem_ecp, get_basis, get_ecp,
+    )
+
+    b = parse_nwchem_basis(
+        "BASIS\nX S\n 1.0 0.5\n 0.3 0.7\nX SP\n 2.0 0.1 0.2\nX D\n 0.8 1.0\nEND"
+    )
+    assert b == {
+        "X": [[0, [1.0, 0.5], [0.3, 0.7]], [0, [2.0, 0.1]], [1, [2.0, 0.2]],
+              [2, [0.8, 1.0]]]
+    }
+    e = parse_nwchem_ecp(
+        "ECP\nX nelec 2\nX ul\n1 3.0 2.0\n2 4.0 -1.0\nX S\n2 5.0 6.0\nEND"
+    )
+    assert e["X"][0] == 2
+    assert e["X"][1][0][0] == -1
+    assert e["X"][1][0][1][1] == [[3.0, 2.0]]
+    assert e["X"][1][0][1][2] == [[4.0, -1.0]]
+    assert e["X"][1][1] == [0, [[], [], [[5.0, 6.0]], [], [], [], []]]
+    # library lookups built from the NWChem blocks still resolve
+    assert set(get_ecp("ccecp", ["H", "Li", "C", "N", "O"])) == {
+        "H", "Li", "C", "N", "O"
+    }
+    assert get_basis("ccecp-ccpvdz", ["H", "O"])
+
+
+@pytest.mark.slow
+def test_basis_fit_atomic_contraction():
+    """ANO-style fitted DZ must sit within ~2 mHa of its uncontracted sea."""
+    from pyqmc_tpu.system.basis_fit import fit_atomic_valence_basis
+
+    basis, info = fit_atomic_valence_basis(
+        "C", free_exps={0: [0.2], 1: [0.15]},
+        sea_kwargs=dict(alpha0=0.08, beta=2.5, n=9),
+    )
+    mf = run_scf(Molecule("C 0 0 0", basis={"C": basis}, ecp="ccecp", spin=2))
+    assert mf.e_tot < info["sea_e_tot"] + 5e-3
