@@ -15,6 +15,10 @@ class EnergyAccumulator:
     """{ke, ee, ei, ii, ecp, grad2, total} local-energy accumulator."""
 
     def __init__(self, mol, ecp_acc=None, ewald=None):
+        """ecp_acc: explicit ECPAccumulator, or None to build one
+        automatically when mol carries an ECP (pass False to force the
+        ECP term off). Silent omission of the ECP for an ECP molecule
+        gave VMC energies ~1 Ha below RHF for ccECP H2O."""
         self.mol = mol
         self.periodic = getattr(mol, "lattice", None) is not None
         if self.periodic:
@@ -25,19 +29,33 @@ class EnergyAccumulator:
             self.coulomb = ewald
         else:
             self.coulomb = OpenCoulomb(mol)
-        self.ecp_acc = ecp_acc
+        if ecp_acc is None and getattr(mol, "ecp", None):
+            from .ecp import ECPAccumulator
 
-    def __call__(self, wf, params, state, positions, key=None):
-        ke, grad2 = kinetic_energy(wf, params, state, positions)
+            ecp_acc = ECPAccumulator(mol)
+        self.ecp_acc = ecp_acc or None
+
+    def __call__(self, wf, params, state, positions, key=None, with_imag=False):
+        """Per-walker local-energy components. with_imag=True adds
+        "total_im", the imaginary part of the complex local energy (zero in
+        expectation; consumed by the complex-parameter SR gradient)."""
+        ke, grad2, ke_im = kinetic_energy(
+            wf, params, state, positions, with_imag=True
+        )
         ee, ei, ii = self.coulomb.energy(positions)
         out = {"ke": ke, "ee": ee, "ei": ei, "ii": ii, "grad2": grad2}
+        ecp_im = jnp.zeros_like(ke)
         if self.ecp_acc is not None:
             if key is None:
                 key = jax.random.PRNGKey(0)
-            out["ecp"] = self.ecp_acc(wf, params, state, positions, key)
+            out["ecp"], ecp_im = self.ecp_acc(
+                wf, params, state, positions, key, with_imag=True
+            )
         else:
             out["ecp"] = jnp.zeros_like(ke)
         out["total"] = ke + ee + ei + ii + out["ecp"]
+        if with_imag:
+            out["total_im"] = ke_im + ecp_im
         return out
 
     def avg(self, wf, params, state, positions, key=None):

@@ -2,9 +2,9 @@
 
 TPU-first replacement for pyqmc/observables/eval_ecp.py + jax_ecp.py:
 
-  * octahedral quadrature grids (naip 6/18/26, exact through P_3/P_5/P_7)
-    with a random rotation per (walker, atom) drawn from a counter-based key
-    (eval_ecp.py:255-336 semantics);
+  * octahedral/icosahedral quadrature grids (naip 6/12/18/26/32/50, exact
+    through degree 3/5/5/7/9/11) with a random rotation per (walker, atom)
+    drawn from a counter-based key (eval_ecp.py:255-336 semantics);
   * ONE wf.testvalue call per electron covering all atoms x quadrature
     points through the aux axis (the design the reference's jax_ecp.py:98
     reaches for);
@@ -30,36 +30,104 @@ import jax.numpy as jnp
 
 # --- quadrature grids ------------------------------------------------------
 
-def octahedral_grid(naip: int):
-    """(points (naip, 3), weights (naip,)); exact for P_l with l <= 3/5/7."""
+def _octa_classes():
     verts = np.array(
         [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
         dtype=np.float64,
     )
-    if naip == 6:
-        return verts, np.full(6, 1.0 / 6.0)
     edges = []
     for i in (-1.0, 1.0):
         for j in (-1.0, 1.0):
             edges += [[i, j, 0], [i, 0, j], [0, i, j]]
     edges = np.asarray(edges) / np.sqrt(2.0)
+    faces = np.asarray(
+        [[i, j, k] for i in (-1.0, 1.0) for j in (-1.0, 1.0) for k in (-1.0, 1.0)]
+    ) / np.sqrt(3.0)
+    return verts, edges, faces
+
+
+def _ico_classes():
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = []
+    for a in (-1.0, 1.0):
+        for b in (-phi, phi):
+            verts += [[0, a, b], [a, b, 0], [b, 0, a]]
+    verts = np.asarray(verts)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    # face centers: normalized sums of mutually adjacent vertex triples
+    from itertools import combinations
+
+    nn = verts @ verts.T > 0.4
+    faces = []
+    for i, j, k in combinations(range(12), 3):
+        if nn[i, j] and nn[j, k] and nn[i, k]:
+            c = verts[i] + verts[j] + verts[k]
+            c = c / np.linalg.norm(c)
+            if not any(np.allclose(c, f, atol=1e-9) for f in faces):
+                faces.append(c)
+    return verts, np.asarray(faces)
+
+
+def ecp_quadrature_grid(naip: int):
+    """(points (naip, 3), weights (naip,)) for spherical quadrature.
+
+    Matches the reference's grid menu (eval_ecp.py:278-336): naip in
+    {6, 12, 18, 26, 32, 50}, exact for spherical harmonics through degree
+    3 / 5 / 5 / 7 / 9 / 11 respectively. Derived from symmetry + moment
+    conditions (octahedral family for 6/18/26/50, icosahedral for 12/32;
+    the 50-point set is the classic rational-weight rule with the 24-point
+    class at (p, p, q), p = 1/sqrt(11), q = 3/sqrt(11)).
+    """
+    verts, edges, faces = _octa_classes()
+    if naip == 6:
+        return verts, np.full(6, 1.0 / 6.0)
     if naip == 18:
         pts = np.concatenate([verts, edges])
-        w = np.concatenate([np.full(6, 1.0 / 30.0), np.full(12, 1.0 / 15.0)])
-        return pts, w
-    faces = []
-    for i in (-1.0, 1.0):
-        for j in (-1.0, 1.0):
-            for k in (-1.0, 1.0):
-                faces.append([i, j, k])
-    faces = np.asarray(faces) / np.sqrt(3.0)
+        return pts, np.concatenate([np.full(6, 1.0 / 30.0), np.full(12, 1.0 / 15.0)])
     if naip == 26:
         pts = np.concatenate([verts, edges, faces])
         w = np.concatenate(
             [np.full(6, 40.0 / 840.0), np.full(12, 32.0 / 840.0), np.full(8, 27.0 / 840.0)]
         )
         return pts, w
-    raise ValueError(f"naip must be 6, 18 or 26, got {naip}")
+    if naip == 50:
+        p, q = 1.0 / np.sqrt(11.0), 3.0 / np.sqrt(11.0)
+        cls4 = np.asarray(
+            [
+                v
+                for s1 in (-1.0, 1.0)
+                for s2 in (-1.0, 1.0)
+                for s3 in (-1.0, 1.0)
+                for v in (
+                    [s1 * p, s2 * p, s3 * q],
+                    [s1 * p, s2 * q, s3 * p],
+                    [s1 * q, s2 * p, s3 * p],
+                )
+            ]
+        )
+        pts = np.concatenate([verts, edges, faces, cls4])
+        w = np.concatenate(
+            [
+                np.full(6, 4.0 / 315.0),
+                np.full(12, 64.0 / 2835.0),
+                np.full(8, 27.0 / 1280.0),
+                np.full(24, 14641.0 / 725760.0),
+            ]
+        )
+        return pts, w
+    iverts, ifaces = _ico_classes()
+    if naip == 12:
+        return iverts, np.full(12, 1.0 / 12.0)
+    if naip == 32:
+        pts = np.concatenate([iverts, ifaces])
+        w = np.concatenate([np.full(12, 25.0 / 840.0), np.full(20, 27.0 / 840.0)])
+        return pts, w
+    raise ValueError(f"naip must be one of 6/12/18/26/32/50, got {naip}")
+
+
+def octahedral_grid(naip: int):
+    """Back-compat alias for ecp_quadrature_grid."""
+    return ecp_quadrature_grid(naip)
 
 
 def random_rotations(key, shape):
@@ -79,6 +147,8 @@ def random_rotations(key, shape):
 
 
 def legendre(l, x):
+    """P_l(x) for l <= 6 (reference eval_ecp.py get_P_l covers l <= 3 plus
+    the -1 local slot; heavier-core ECPs carry d/f projectors)."""
     if l == 0:
         return jnp.ones_like(x)
     if l == 1:
@@ -87,6 +157,12 @@ def legendre(l, x):
         return 0.5 * (3 * x * x - 1)
     if l == 3:
         return 0.5 * (5 * x**3 - 3 * x)
+    if l == 4:
+        return 0.125 * (35 * x**4 - 30 * x**2 + 3)
+    if l == 5:
+        return 0.125 * (63 * x**5 - 70 * x**3 + 15 * x)
+    if l == 6:
+        return 0.0625 * (231 * x**6 - 315 * x**4 + 105 * x**2 - 5)
     raise ValueError(f"l={l} not supported")
 
 
@@ -141,16 +217,40 @@ def _parse_ecp(mol) -> List[_AtomECP]:
 class ECPAccumulator:
     """ecp(wf, params, state, positions, key) -> per-walker ECP energy."""
 
-    def __init__(self, mol, naip: int = 6, rmax: float = 10.0, nselect=None):
-        """nselect: static number of quadrature points actually evaluated
+    def __init__(self, mol, naip: int = None, rmax: float = 10.0, nselect=None):
+        """naip: angular quadrature size (6/12/18/26/32/50). None picks the
+        reference's default (eval_ecp.py:239-240): 12 when any atom carries
+        more than one nonlocal channel, else 6.
+
+        nselect: static number of quadrature points actually evaluated
         per electron (importance downselection, jax_ecp.py:217-272): the
         |T_q|-largest nselect//2 points are kept deterministically, the rest
         sampled with replacement with p ~ |T_q| and reweighted (unbiased).
         None = dense evaluation of all natoms_ecp * naip points."""
         self.atoms = _parse_ecp(mol)
+        if naip is None:
+            max_nl = max(
+                (len(a.nonlocal_channels) for a in self.atoms), default=0
+            )
+            naip = 12 if max_nl > 1 else 6
         self.atom_coords = np.asarray(mol.atom_coords)
+        # periodic cells: electron-core distances use the minimal image so
+        # an electron near a cell face feels the ECP of the atom's nearest
+        # periodic replica (cf. reference eval_ecp.py:249 dist_i on
+        # wrapped configs)
+        lattice = getattr(mol, "lattice", None)
+        from ..ops import distances as _dist
+
+        self._mic_mode = _dist.classify_lattice(lattice)
+        self._lattice = None if lattice is None else np.asarray(lattice)
+        self._lattice_inv = None if lattice is None else np.linalg.inv(lattice)
+        self._shifts = (
+            _dist._image_shifts(self._lattice)
+            if self._mic_mode == _dist.MODE_GENERAL
+            else None
+        )
         self.naip = naip
-        pts, w = octahedral_grid(naip)
+        pts, w = ecp_quadrature_grid(naip)
         self.quad_pts = pts
         self.quad_w = w
         self.nelec = sum(mol.nelec)
@@ -160,6 +260,20 @@ class ECPAccumulator:
     @property
     def active(self):
         return len(self.atoms) > 0
+
+    def _mic(self, d):
+        """Minimal-image displacement (identity for open boundaries)."""
+        from ..ops import distances as _dist
+
+        if self._lattice is None:
+            return d
+        return _dist.minimal_image(
+            d,
+            jnp.asarray(self._lattice, d.dtype),
+            jnp.asarray(self._lattice_inv, d.dtype),
+            self._mic_mode,
+            None if self._shifts is None else jnp.asarray(self._shifts, d.dtype),
+        )
 
     def _quadrature_geometry(self, positions, e, key):
         """aux points and matrix-element weights for electron e (no wf calls).
@@ -176,12 +290,13 @@ class ECPAccumulator:
         w = jnp.asarray(self.quad_w, dtype)
         for k, aecp in enumerate(self.atoms):
             R = jnp.asarray(self.atom_coords[aecp.atom], dtype)
-            d = epos - R  # (nconf, 3)
+            d = self._mic(epos - R)  # atom(-image) -> electron (nconf, 3)
             r = jnp.linalg.norm(d, axis=-1)
             rot = random_rotations(jax.random.fold_in(key, k), (nconf,))  # (c,3,3)
             pts = jnp.asarray(self.quad_pts, dtype)  # (naip, 3)
             dirs = jnp.einsum("cxy,qy->cqx", rot, pts)  # (c, naip, 3)
-            aux = R[None, None, :] + r[:, None, None] * dirs  # (c, naip, 3)
+            # sphere centred on the nearest image of the atom: epos - d
+            aux = (epos - d)[:, None, :] + r[:, None, None] * dirs  # (c, naip, 3)
             costh = jnp.einsum("cqx,cx->cq", dirs, d / jnp.maximum(r, 1e-12)[:, None])
             inside = (r < self.rmax).astype(dtype)
             T = jnp.zeros((nconf, self.naip), dtype)
@@ -202,20 +317,32 @@ class ECPAccumulator:
         return aux_all, T_all, ratios
 
     def _nonlocal_electron(self, wf, params, state, positions, e, key):
-        """Nonlocal ECP energy contribution of electron e (nconf,)."""
+        """Nonlocal ECP energy contribution of electron e.
+
+        Returns (re, im) real arrays (nconf,): the complex localized-ECP
+        local energy split into real parts (im is zeros for real
+        wavefunctions — the common TPU path)."""
         nq_total = len(self.atoms) * self.naip
         if self.nselect is None or self.nselect >= nq_total:
             _, T, ratios = self._electron_quadrature(
                 wf, params, state, positions, e, key
             )
-            return jnp.sum(T * jnp.real(ratios), axis=1)
-        return self._nonlocal_electron_downselect(
-            wf, params, state, positions, e, key
+        else:
+            T, ratios = self._downselected_quadrature(
+                wf, params, state, positions, e, key
+            )
+        re = jnp.sum(T * jnp.real(ratios), axis=1)
+        im = (
+            jnp.sum(T * jnp.imag(ratios), axis=1)
+            if jnp.iscomplexobj(ratios)
+            else jnp.zeros_like(re)
         )
+        return re, im
 
-    def _nonlocal_electron_downselect(self, wf, params, state, positions, e, key):
+    def _downselected_quadrature(self, wf, params, state, positions, e, key):
         """Evaluate only nselect points: |T|-top-k deterministic + stochastic
-        remainder with importance reweighting (unbiased; static shapes)."""
+        remainder with importance reweighting (unbiased; static shapes).
+        Returns (weighted T, ratios) at the selected points."""
         nconf = positions.shape[0]
         dtype = positions.dtype
         aux, T, _ = self._quadrature_geometry(positions, e, key)
@@ -243,33 +370,52 @@ class ECPAccumulator:
         Tsel = jnp.take_along_axis(T, idx, axis=1) * wts
         aux_sel = jnp.take_along_axis(aux, idx[:, :, None], axis=1)
         ratios, _ = wf.testvalue(params, state, e, aux_sel)
-        return jnp.sum(Tsel * jnp.real(ratios), axis=1)
+        return Tsel, ratios
 
-    def tmove_data(self, wf, params, state, positions, e, key, tau):
-        """T-move proposal set for electron e (Casula size-consistent form,
-        cf. eval_ecp.py:43-80): (aux points, amplitudes t_q >= 0)."""
+    def tmove_quadrature(self, wf, params, state, positions, e, key, tau):
+        """T-move quadrature for electron e (Casula size-consistent form,
+        cf. eval_ecp.py:43-80 + dmc.py:73-120).
+
+        Returns (aux (c, nq, 3), w (c, nq), r (c, nq)): quadrature points,
+        signed matrix-element weights w_q = -tau * T_q, and wavefunction
+        ratios r_q. Forward amplitudes are max(0, w_q r_q); backward
+        amplitudes after moving to point m are max(0, w_q r_q / r_m)
+        (exact ratio composition on the same quadrature sphere)."""
         aux, T, ratios = self._electron_quadrature(
             wf, params, state, positions, e, key
         )
-        t = tau * jnp.maximum(0.0, -(T * jnp.real(ratios)))
-        return aux, t
+        return aux, -tau * T, jnp.real(ratios)
 
-    def __call__(self, wf, params, state, positions, key):
+    def tmove_data(self, wf, params, state, positions, e, key, tau):
+        """(aux points, forward amplitudes t_q >= 0) — see tmove_quadrature."""
+        aux, w, r = self.tmove_quadrature(
+            wf, params, state, positions, e, key, tau
+        )
+        return aux, jnp.maximum(0.0, w * r)
+
+    def __call__(self, wf, params, state, positions, key, with_imag=False):
         nconf = positions.shape[0]
         dtype = positions.dtype
         if not self.atoms:
-            return jnp.zeros(nconf, dtype)
+            z = jnp.zeros(nconf, dtype)
+            return (z, z) if with_imag else z
         # local part: all electrons x ECP atoms
         local = jnp.zeros(nconf, dtype)
         for aecp in self.atoms:
             R = jnp.asarray(self.atom_coords[aecp.atom], dtype)
-            r = jnp.linalg.norm(positions - R[None, None, :], axis=-1)  # (c, ne)
+            d = self._mic(positions - R[None, None, :])
+            r = jnp.linalg.norm(d, axis=-1)  # (c, ne)
             local = local + jnp.sum(aecp.local.evaluate(r), axis=1)
 
-        def body(e, acc):
-            return acc + self._nonlocal_electron(
+        def body(e, carry):
+            re, im = carry
+            dre, dim = self._nonlocal_electron(
                 wf, params, state, positions, e, jax.random.fold_in(key, 1000 + e)
             )
+            return re + dre, im + dim
 
-        nl = jax.lax.fori_loop(0, self.nelec, body, jnp.zeros(nconf, dtype))
+        z = jnp.zeros(nconf, dtype)
+        nl, nl_im = jax.lax.fori_loop(0, self.nelec, body, (z, z))
+        if with_imag:
+            return local + nl, nl_im
         return local + nl
