@@ -33,7 +33,7 @@ def make_state_gradient_fn(wfs, k, transform, energy_acc):
             "total"
         ]
         pg = wfs[k].pgradient(params_list[k], positions)
-        dp = jnp.real(transform.serialize_batch(pg))  # (nconf, np)
+        dp, _ = transform.serialize_gradients_pair(pg)  # real channel (nconf, np)
         nconf = dp.shape[0]
         out = {
             "den": jnp.mean(wk),

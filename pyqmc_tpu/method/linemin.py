@@ -70,7 +70,14 @@ def line_minimization(
     hdf_file: Optional[str] = None,
     verbose: bool = False,
 ):
-    """Optimize params; returns (params, configs, iteration records)."""
+    """Optimize params; returns (params, configs, iteration records).
+
+    Restartable (cf. reference linemin.py:162-189): when `hdf_file` already
+    holds completed iterations, resume from the recorded parameter vector,
+    walker configurations, and iteration counter instead of starting over.
+    Per-iteration RNG keys are derived by folding the iteration index so a
+    resumed run draws the same stream it would have drawn uninterrupted.
+    """
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
     sr = StochasticReconfiguration(energy_acc, transform, eps=sr_eps)
@@ -80,17 +87,40 @@ def line_minimization(
         nsteps=vmc_steps_per_block, mesh=mesh,
     )
 
+    start_it = 0
     records = []
-    for it in range(max_iterations):
-        key, vkey, ckey = jax.random.split(key, 3)
+    if hdf_file is not None:
+        import os
+        import h5py
+        from ..configs import Configs
+
+        if os.path.exists(hdf_file):
+            with h5py.File(hdf_file, "r") as f:
+                if "x" in f and len(f["x"]) > 0:
+                    start_it = len(f["x"])
+                    params = transform.deserialize(
+                        params, jnp.asarray(np.asarray(f["x"])[-1])
+                    )
+                    if "configs" in f:
+                        configs = Configs.from_hdf(f["configs"])
+                    if verbose:
+                        print(
+                            f"linemin: resuming at iteration {start_it} "
+                            f"from {hdf_file}", flush=True,
+                        )
+
+    for it in range(start_it, max_iterations):
+        vkey, ckey = jax.random.split(jax.random.fold_in(key, it))
         data, configs = vmc(
             wf, params, configs, nblocks=vmc_blocks,
             nsteps_per_block=vmc_steps_per_block, tstep=vmc_tstep,
             accumulators={"pgrad": sr}, key=vkey, mesh=mesh, block_fn=block_fn,
         )
+        avg_keys = ("total", "dp", "dpH", "dpidpj")
+        if "pgraddpI" in data[0]:  # complex-parameter channel present
+            avg_keys += ("total_im", "dpI", "dpHI", "dpidpjI")
         block_avg = {
-            k: np.stack([d[f"pgrad{k}"] for d in data])
-            for k in ("total", "dp", "dpH", "dpidpj")
+            k: np.stack([d[f"pgrad{k}"] for d in data]) for k in avg_keys
         }
         if not np.all(np.isfinite(block_avg["total"])):
             raise ValueError(
@@ -139,4 +169,6 @@ def line_minimization(
                         "x": np.asarray(transform.serialize(params)),
                     },
                 )
+                # checkpoint walkers for restart (overwritten each iteration)
+                configs.to_hdf(f.require_group("configs"))
     return params, configs, records

@@ -330,8 +330,8 @@ class Slater:
         """Orbital-coefficient gradients for KPointOrbitals.
 
         Same tr(M^-1 dM) machinery as the molecular case, per k block. For
-        complex coefficients returns the Re/Im-packed gradient of log|psi|
-        (= conj of the holomorphic d log psi / dC).
+        complex coefficients returns the holomorphic d log psi / dC
+        (LinearTransform splits it into the re/im real directions).
         """
         kaos = self.orbitals._kaos(positions, 0)[0]  # (c, ne, nk, nao)
         mu = jnp.asarray(self.expansion.map_up)
@@ -366,7 +366,7 @@ class Slater:
                     occf[..., None] == (off + jnp.arange(nocc_k))
                 ).astype(w.dtype)  # (nd, n, nocc_k)
                 dC = jnp.einsum("ck,ckjm,kjo->cmo", wk, t, onehot)
-                grads.append(jnp.conj(dC) if jnp.iscomplexobj(dC) else dC)
+                grads.append(dC)
                 off += nocc_k
             out[cname] = grads
         return out
@@ -384,7 +384,11 @@ class Slater:
         w, denom, _ = self._expansion_weights(params, state)  # (c, ndet)
         # det_coeff: d log psi / d c_d = (w_d / c_d) / denom
         dDet = (w / params["det_coeff"][None, :]) / denom[:, None]
-        out = {"det_coeff": jnp.real(dDet)}
+        out = {
+            "det_coeff": dDet
+            if jnp.iscomplexobj(params["det_coeff"])
+            else jnp.real(dDet)
+        }
 
         if not isinstance(self.orbitals, MolecularOrbitals):
             out.update(self._pgradient_kpoint(params, positions, state, w, denom))
@@ -418,5 +422,7 @@ class Slater:
             occf = jnp.asarray(occ)  # (nd, n)
             onehot = (occf[..., None] == jnp.arange(norb)).astype(w.dtype)
             dC = jnp.einsum("ck,ckjm,kjo->cmo", wk, t, onehot)
-            out[cname] = jnp.real(dC)
+            # holomorphic d log psi / dC for complex coefficients (the
+            # re/im optimization split happens in LinearTransform)
+            out[cname] = dC if jnp.iscomplexobj(params[cname]) else jnp.real(dC)
         return out

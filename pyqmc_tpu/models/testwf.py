@@ -148,7 +148,12 @@ def test_gradient_laplacian(wf, params, configs, key, delta=1e-4, tol=1e-4):
 
 
 def test_pgradient(wf, params, configs, key, delta=1e-6, tol=1e-5):
-    """d log|psi| / d params vs finite differences (testwf.py:188+)."""
+    """pgradient vs finite differences of log|psi| (testwf.py:188+).
+
+    Convention: pgradient returns d log psi / dp holomorphically for complex
+    parameters, so d log|psi| along the real direction is Re(g) and along
+    the imaginary direction is -Im(g).
+    """
     pos = configs.positions
     pgrad = wf.pgradient(params, pos)
     flat_p, unravel = ravel_pytree(params)
@@ -167,13 +172,29 @@ def test_pgradient(wf, params, configs, key, delta=1e-6, tol=1e-5):
     # high curvature near nodes makes any single delta unreliable).
     rng = np.random.default_rng(0)
     idx = rng.choice(flat_p.shape[0], size=min(10, flat_p.shape[0]), replace=False)
+    # which flat indices belong to complex leaves (ravel_pytree promotes a
+    # mixed tree to complex, so check per-leaf dtypes)
+    leaf_complex = np.concatenate(
+        [
+            np.full(np.size(l), bool(jnp.iscomplexobj(l)))
+            for l in jax.tree.leaves(params)
+        ]
+    ) if flat_p.size else np.zeros(0, dtype=bool)
     maxerr = 0.0
     for i in idx:
-        best = np.inf
-        for d in (1e-4, 1e-5, 1e-6, 1e-7):
-            fd = (total_logabs(flat_p.at[i].add(d)) - total_logabs(flat_p.at[i].add(-d))) / (2 * d)
-            best = min(best, float(jnp.abs(flat_g[i] - fd)))
-        maxerr = max(maxerr, best)
+        directions = [(1.0, jnp.real)]
+        if leaf_complex[i]:
+            directions.append((1.0j, lambda g: -jnp.imag(g)))
+        for direction, expect in directions:
+            g_i = expect(flat_g[i])
+            best = np.inf
+            for d in (1e-4, 1e-5, 1e-6, 1e-7):
+                fd = (
+                    total_logabs(flat_p.at[i].add(direction * d))
+                    - total_logabs(flat_p.at[i].add(-direction * d))
+                ) / (2 * d)
+                best = min(best, float(jnp.abs(g_i - fd)))
+            maxerr = max(maxerr, best)
     assert maxerr < tol, f"pgradient FD mismatch {maxerr}"
     return maxerr
 

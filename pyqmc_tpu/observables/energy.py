@@ -9,25 +9,33 @@ import jax
 import jax.numpy as jnp
 
 
-def kinetic_energy(wf, params, state, positions):
+def kinetic_energy(wf, params, state, positions, with_imag=False):
     """(-1/2) sum_e lap_e psi / psi and sum_e |grad_e psi/psi|^2.
 
-    Returns (ke (nconf,), grad2 (nconf,)).
+    Returns (ke (nconf,), grad2 (nconf,)), or (ke, grad2, ke_im) when
+    with_imag is True. The carries stay REAL arrays either way (the TPU
+    backend has no complex ops); ke_im is the imaginary part of the complex
+    local kinetic energy — zero in expectation, but needed by the
+    complex-parameter SR gradient (observables/sr.py) and fixed-phase
+    diagnostics.
     """
     nconf, nelec = positions.shape[:2]
     dtype = positions.dtype
 
     def body(e, carry):
-        lap_acc, grad2_acc = carry
+        lap_acc, grad2_acc, lapim_acc = carry
         g, lap = wf.gradient_laplacian(params, state, e, positions[:, e, :])
-        # Re(lap psi / psi): the imaginary part cancels in expectation for
-        # complex (twisted) wavefunctions; keep the carry real.
-        return lap_acc + jnp.real(lap), grad2_acc + jnp.sum(
-            jnp.abs(g) ** 2, axis=-1
+        lap_im = jnp.imag(lap) if jnp.iscomplexobj(lap) else jnp.zeros_like(lap_acc)
+        return (
+            lap_acc + jnp.real(lap),
+            grad2_acc + jnp.sum(jnp.abs(g) ** 2, axis=-1),
+            lapim_acc + lap_im,
         )
 
     lap0 = jnp.zeros(nconf, dtype=dtype)
-    lap, grad2 = jax.lax.fori_loop(0, nelec, body, (lap0, lap0))
+    lap, grad2, lap_im = jax.lax.fori_loop(0, nelec, body, (lap0, lap0, lap0))
+    if with_imag:
+        return -0.5 * lap, grad2, -0.5 * lap_im
     return -0.5 * lap, grad2
 
 
