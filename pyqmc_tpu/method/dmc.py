@@ -8,11 +8,12 @@ TPU-first redesign of pyqmc/method/dmc.py:
   * branching is a stochastic comb (systematic resampling) implemented in
     pure XLA (sort-free cumsum + searchsorted) so it runs on-device
     (dmc.py:342-376 ran on the driver over a gathered population);
-  * under a device mesh, each shard runs the comb over its local walkers
-    with the *globally* psum-normalized total weight, which keeps per-shard
-    populations fixed (no walker exchange needed) while preserving the
-    population-control statistics — the TPU equivalent of the reference's
-    gather -> comb -> scatter (dmc.py:238-304,566).
+  * under a device mesh, branching is a GLOBAL comb: weights and walkers
+    are all-gathered over ICI, every shard draws the identical comb, and
+    each keeps its slice of the resampled population — the TPU equivalent
+    of the reference's gather -> comb -> scatter (dmc.py:238-304,566),
+    including cross-shard walker rebalancing when one shard's weights
+    collapse.
 """
 
 from __future__ import annotations
@@ -39,42 +40,72 @@ def limdrift_umrigar(g, tau):
 
 
 def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
-                   tdamp=1.0, tmoves=True, accumulators=None):
+                   tdamp=None, tmoves=True, accumulators=None):
+    """tdamp=None (default) uses the per-walker effective-timestep ratio
+    r2_accepted / r2_proposed (dmc.py:192); pass a float to fix it."""
     axis = mesh.axis_names[0] if mesh is not None else None
     nelec = wf.nelec
     ecp_acc = getattr(energy_acc, "ecp_acc", None)
     do_tmoves = tmoves and ecp_acc is not None and ecp_acc.active
 
-    def tmove_sweep(params, positions, state, stepkey):
-        """Anderson-Casula T-moves (dmc.py:73-120,168-176): per electron,
-        select among {stay} + quadrature points with heat-bath weights."""
+    def tmove_sweep(params, positions, wrap, state, stepkey):
+        """Anderson-Casula size-consistent T-moves (dmc.py:73-120,168-176):
+        per electron, heat-bath selection among {stay} + quadrature points,
+        followed by the reverse-amplitude Metropolis acceptance
+        norm/back_norm (EQN 34) for detailed balance. Proposed positions are
+        folded into the cell (geometry.enforce) with wrap updates, so
+        periodic ECP DMC stays consistent."""
 
         def ebody(e, carry):
-            positions, state = carry
+            positions, wrap, state = carry
             k1 = jax.random.fold_in(stepkey, 3 * e)
             k2 = jax.random.fold_in(stepkey, 3 * e + 1)
-            aux, t = ecp_acc.tmove_data(
+            k3 = jax.random.fold_in(stepkey, 3 * e + 2)
+            aux, w, r = ecp_acc.tmove_quadrature(
                 wf, params, state, positions, e, k1, tstep
-            )  # (c, nq, 3), (c, nq)
-            nconf, nq = t.shape
-            norm = 1.0 + jnp.sum(t, axis=1)  # stay weight 1
+            )  # (c, nq, 3), (c, nq), (c, nq)
+            nconf, nq = w.shape
+            amp = jnp.maximum(0.0, w * r)  # forward amplitudes
+            norm = 1.0 + jnp.sum(amp, axis=1)  # stay weight 1
             # categorical: index 0 = stay, 1..nq = move
-            probs = jnp.concatenate([1.0 / norm[:, None], t / norm[:, None]], axis=1)
+            probs = jnp.concatenate(
+                [1.0 / norm[:, None], amp / norm[:, None]], axis=1
+            )
             cum = jnp.cumsum(probs, axis=1)
             u = jax.random.uniform(k2, (nconf, 1))
             choice = jnp.sum((u > cum).astype(jnp.int32), axis=1)  # 0..nq
             move = choice > 0
             qidx = jnp.clip(choice - 1, 0, nq - 1)
+            take = lambda a: jnp.take_along_axis(a, qidx[:, None], axis=1)[:, 0]
+            r_m = take(r)
+            w_m = take(w)
+            # reverse amplitudes from the proposed point (same sphere, so
+            # matrix elements carry over; ratios compose exactly):
+            # q != m: max(0, w_q r_q / r_m); q == m (move back): w_m / r_m
+            inv_r = jnp.where(move & (jnp.abs(r_m) > 1e-30), 1.0 / r_m, 0.0)
+            amp_b = jnp.maximum(0.0, w * r * inv_r[:, None])
+            amp_b = jnp.where(
+                jnp.arange(nq)[None, :] == qidx[:, None],
+                jnp.maximum(0.0, w_m * inv_r)[:, None],
+                amp_b,
+            )
+            back_norm = 1.0 + jnp.sum(amp_b, axis=1)
+            acc_prob = jnp.where(move, norm / back_norm, 0.0)
+            accept = acc_prob > jax.random.uniform(k3, (nconf,))
             newpos = jnp.take_along_axis(
                 aux, qidx[:, None, None].astype(jnp.int32).repeat(3, axis=2), axis=1
             )[:, 0, :]
-            newpos = jnp.where(move[:, None], newpos, positions[:, e, :])
+            newpos, wrapdelta = geometry.enforce(newpos)
+            newpos = jnp.where(accept[:, None], newpos, positions[:, e, :])
             _, saved = wf.testvalue(params, state, e, newpos)
-            state = wf.updateinternals(params, state, e, newpos, move, saved)
+            state = wf.updateinternals(params, state, e, newpos, accept, saved)
             positions = positions.at[:, e, :].set(newpos)
-            return positions, state
+            wrap = wrap.at[:, e, :].set(
+                jnp.where(accept[:, None], wrap[:, e, :] + wrapdelta, wrap[:, e, :])
+            )
+            return positions, wrap, state
 
-        return jax.lax.fori_loop(0, nelec, ebody, (positions, state))
+        return jax.lax.fori_loop(0, nelec, ebody, (positions, wrap, state))
 
     def pglobal_mean(x, w=None):
         """weighted global mean over walkers (and shards)."""
@@ -122,40 +153,59 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             wrap = wrap.at[:, e, :].set(
                 jnp.where(accept[:, None], wrap[:, e, :] + wrapdelta, wrap[:, e, :])
             )
-            return positions, wrap, state, acc + jnp.mean(accept.astype(dtype))
+            # per-walker proposed/accepted displacement^2 for the effective
+            # timestep ratio tdamp (dmc.py:163-192)
+            r2 = jnp.sum((gauss + tstep * drift_old) ** 2, axis=-1)
+            acc, r2p, r2a = acc
+            return positions, wrap, state, (
+                acc + jnp.mean(accept.astype(dtype)),
+                r2p + r2,
+                r2a + jnp.where(accept, r2, 0.0),
+            )
 
+        z = jnp.zeros(nconf, dtype)
         return jax.lax.fori_loop(
             0, nelec, ebody,
-            (positions, wrap, state, jnp.zeros((), dtype)),
+            (positions, wrap, state, (jnp.zeros((), dtype), z, z)),
         )
 
-    def compute_S(e_trial, e_est, esigma, eloc):
-        """Saturated branching exponent (dmc.py:224-235 semantics)."""
+    def compute_S(e_trial, e_est, esigma, eloc, grad2):
+        """Saturated + velocity-damped branching exponent
+        (dmc.py:224-235): S = E_T - E_est + clip(E_est - E_L)
+        / sqrt(1 + (v^2 tau / nelec)^2) — the damping suppresses the
+        diverging local energy of a walker stuck near a node."""
         cutoff = esigma * jnp.sqrt(2.0 / tstep)
-        eclip = e_est + jnp.clip(eloc - e_est, -cutoff, cutoff)
-        return e_trial - eclip
+        eclip = jnp.clip(e_est - eloc, -cutoff, cutoff)
+        denom = jnp.sqrt(1.0 + (grad2 * tstep / nelec) ** 2)
+        return e_trial - e_est + eclip / denom
 
     def block(params, positions, wrap, weights, key, e_trial, e_est, esigma):
         if axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         state = wf.recompute(params, positions)
-        eloc0 = energy_acc(wf, params, state, positions,
-                   key=jax.random.fold_in(key, 999))["total"]
-        S_old = compute_S(e_trial, e_est, esigma, eloc0)
+        edat0 = energy_acc(wf, params, state, positions,
+                   key=jax.random.fold_in(key, 999))
+        S_old = compute_S(e_trial, e_est, esigma, edat0["total"], edat0["grad2"])
 
         def step_fn(carry, stepkey):
             positions, wrap, state, weights, S_old = carry
             if do_tmoves:
-                positions, state = tmove_sweep(
-                    params, positions, state, jax.random.fold_in(stepkey, 555)
+                positions, wrap, state = tmove_sweep(
+                    params, positions, wrap, state,
+                    jax.random.fold_in(stepkey, 555),
                 )
-            positions, wrap, state, acc = sweep(
+            positions, wrap, state, (acc, r2p, r2a) = sweep(
                 params, positions, wrap, state, stepkey
             )
             edat = energy_acc(wf, params, state, positions,
                               key=jax.random.fold_in(stepkey, 7000))
-            S_new = compute_S(e_trial, e_est, esigma, edat["total"])
-            weights = weights * jnp.exp(tstep * tdamp * 0.5 * (S_new + S_old))
+            S_new = compute_S(e_trial, e_est, esigma, edat["total"], edat["grad2"])
+            # effective-timestep damping: the accepted fraction of the
+            # proposed squared displacement (dmc.py:192)
+            step_tdamp = (
+                r2a / jnp.maximum(r2p, 1e-30) if tdamp is None else tdamp
+            )
+            weights = weights * jnp.exp(tstep * step_tdamp * 0.5 * (S_new + S_old))
             out = {"acceptance": acc / nelec}
             for k, v in edat.items():
                 out[f"energy{k}"] = pglobal_mean(v, weights)
@@ -180,23 +230,34 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
         return positions, wrap, weights, avg
 
     def branch(positions, wrap, weights, key):
-        """Stochastic comb resampling (dmc.py:342-376), on-device."""
-        if axis is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        """Stochastic comb resampling (dmc.py:342-376), on-device.
+
+        Under a mesh this is a GLOBAL comb over the whole population: every
+        shard all-gathers the weights+walkers over ICI, draws the identical
+        comb (same key on every shard), and keeps its slice of the resampled
+        population — the TPU equivalent of the reference's gather -> comb ->
+        scatter, so a shard whose walkers collapse is replenished from the
+        rest of the population (cross-shard rebalancing, SURVEY §2.8)."""
         nconf = weights.shape[0]
-        wtot_local = jnp.sum(weights)
-        cum = jnp.cumsum(weights)
-        base = jax.random.uniform(key, ()) * (wtot_local / nconf)
-        pts = base + jnp.arange(nconf) * (wtot_local / nconf)
-        idx = jnp.searchsorted(cum, pts)
-        idx = jnp.clip(idx, 0, nconf - 1)
-        new_positions = positions[idx]
-        new_wrap = wrap[idx]
-        wmean = jnp.mean(weights)
         if axis is not None:
-            wmean = jax.lax.pmean(wmean, axis)
-        new_weights = jnp.full_like(weights, wmean)
-        return new_positions, new_wrap, new_weights
+            wall = jax.lax.all_gather(weights, axis, tiled=True)  # (ntotal,)
+            pall = jax.lax.all_gather(positions, axis, tiled=True)
+            rall = jax.lax.all_gather(wrap, axis, tiled=True)
+            ntot = wall.shape[0]
+            cum = jnp.cumsum(wall)
+            wtot = cum[-1]
+            base = jax.random.uniform(key, ()) * (wtot / ntot)
+            pts = base + jnp.arange(ntot) * (wtot / ntot)
+            idx = jnp.clip(jnp.searchsorted(cum, pts), 0, ntot - 1)
+            shard = jax.lax.axis_index(axis)
+            sel = jax.lax.dynamic_slice_in_dim(idx, shard * nconf, nconf)
+            return pall[sel], rall[sel], jnp.full_like(weights, jnp.mean(wall))
+        cum = jnp.cumsum(weights)
+        wtot = cum[-1]
+        base = jax.random.uniform(key, ()) * (wtot / nconf)
+        pts = base + jnp.arange(nconf) * (wtot / nconf)
+        idx = jnp.clip(jnp.searchsorted(cum, pts), 0, nconf - 1)
+        return positions[idx], wrap[idx], jnp.full_like(weights, jnp.mean(weights))
 
     if mesh is None:
         return jax.jit(block), jax.jit(branch)

@@ -18,17 +18,71 @@ from pyqmc_tpu.observables.ecp import (
 
 def test_quadrature_exactness():
     """Grids must integrate P_l(cos gamma) exactly: sum_q w_q P_l(a.q) = 0
-    for 1 <= l <= order, any direction a, and sum w = 1."""
+    for 1 <= l <= order, any direction a, and sum w = 1. Orders per grid
+    match the reference's menu (eval_ecp.py:278-336)."""
     rng = np.random.default_rng(0)
-    for naip, lmax in [(6, 3), (18, 5), (26, 7)]:
+    for naip, lmax in [(6, 3), (12, 5), (18, 5), (26, 7), (32, 9), (50, 11)]:
         pts, w = octahedral_grid(naip)
+        assert pts.shape == (naip, 3)
         np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.linalg.norm(pts, axis=1), 1.0, rtol=1e-12
+        )
         for _ in range(5):
             a = rng.normal(size=3)
             a /= np.linalg.norm(a)
-            for l in range(1, min(lmax, 3) + 1):
+            for l in range(1, min(lmax, 6) + 1):
                 val = np.sum(w * np.asarray(legendre(l, jnp.asarray(pts @ a))))
-                assert abs(val) < 1e-12, (naip, l, val)
+                assert abs(val) < 1e-10, (naip, l, val)
+        # one degree past the design order must NOT integrate exactly
+        # (guards against over-claiming the order)
+        if lmax < 6:
+            fails = []
+            for _ in range(10):
+                a = rng.normal(size=3)
+                a /= np.linalg.norm(a)
+                fails.append(
+                    abs(np.sum(w * np.asarray(legendre(lmax + 1, jnp.asarray(pts @ a)))))
+                )
+            assert max(fails) > 1e-6, (naip, lmax + 1)
+
+
+def test_legendre_values():
+    x = jnp.linspace(-1, 1, 7)
+    for l in range(7):
+        np.testing.assert_allclose(
+            np.asarray(legendre(l, x)),
+            np.polynomial.legendre.legval(np.asarray(x), [0] * l + [1]),
+            atol=1e-12,
+        )
+
+
+def test_variance_decreases_with_naip(fake_ecp_mol):
+    """Randomly-rotated quadrature: the spread of the nonlocal estimate over
+    rotations must shrink (or stay flat) as naip grows."""
+    mol = fake_ecp_mol
+    # a superposition of s and p so the projection depends on direction
+    nao = mol.nao
+    C = np.zeros((nao, 1))
+    C[0, 0] = 0.7
+    C[3, 0] = 0.7
+    exp = DeterminantExpansion.single(1, 0)
+    wf = Slater(mol, None, exp, (C, np.zeros((nao, 0))))
+    params = wf.make_params()
+    rng = np.random.default_rng(11)
+    positions = jnp.asarray(rng.normal(scale=1.0, size=(24, 1, 3)))
+    state = wf.recompute(params, positions)
+    spreads = []
+    for naip in (6, 12, 26, 50):
+        acc = ECPAccumulator(mol, naip=naip)
+        vals = np.stack([
+            np.asarray(acc(wf, params, state, positions,
+                           jax.random.PRNGKey(1000 + k)))
+            for k in range(16)
+        ])
+        spreads.append(float(vals.std(axis=0).mean()))
+    assert spreads[-1] <= spreads[0] * 1.05 + 1e-12, spreads
+    assert spreads[-1] <= spreads[1] * 1.05 + 1e-12, spreads
 
 
 def test_rotations_are_orthogonal():
