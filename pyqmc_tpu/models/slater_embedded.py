@@ -212,7 +212,50 @@ class EmbeddedKSlater:
         return jax.lax.cond(pred, up_branch, dn_branch, state)
 
     def pgradient(self, params, positions):
-        """Not supported for the embedded path (optimize via TRIM/CPU)."""
-        return jax.tree.map(
-            lambda x: jnp.zeros((positions.shape[0],) + x.shape, x.dtype), params
-        )
+        """Analytic fixed-phase d log|Psi| / d mo_coeff (re/im directions).
+
+        The complex inverse blocks come straight from the embedded inverse
+        (inv(E) = E(inv M)); D[a, j] = sum_i kao[i, a] invM[j, i] is the
+        holomorphic tr(M^-1 dM) derivative per k-block (parity with
+        /root/reference/pyqmc/wf/slater.py:462-542), giving d/dC_re = Re(D)
+        and d/dC_im = -Im(D).
+        """
+        state = self.recompute(params, positions)
+        are, aim = self.orbitals._kaos_pair(positions, 0)[0]  # (c, ne, nk, nao)
+        nconf = positions.shape[0]
+        out = {}
+        for inv, n, sl, tag in (
+            (state.inv_up, self.nup, slice(0, self.nup), "alpha"),
+            (state.inv_dn, self.ndn, slice(self.nup, None), "beta"),
+        ):
+            re_name, im_name = f"mo_coeff_{tag}_re", f"mo_coeff_{tag}_im"
+            blocks = params[re_name]
+            if n == 0:
+                out[re_name] = [
+                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
+                ]
+                out[im_name] = [
+                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
+                ]
+                continue
+            invr = inv[:, :n, :n]  # Re inv(M)
+            invi = inv[:, n:, :n]  # Im inv(M)
+            grads_re, grads_im = [], []
+            off = 0
+            for k, b in enumerate(blocks):
+                nocc_k = b.shape[1]
+                akr, aki = are[:, sl, k, :], aim[:, sl, k, :]  # (c, n, nao)
+                ir = invr[:, off : off + nocc_k, :]  # (c, nocc_k, n)
+                ii = invi[:, off : off + nocc_k, :]
+                dr = jnp.einsum("cia,cji->caj", akr, ir) - jnp.einsum(
+                    "cia,cji->caj", aki, ii
+                )
+                di = jnp.einsum("cia,cji->caj", akr, ii) + jnp.einsum(
+                    "cia,cji->caj", aki, ir
+                )
+                grads_re.append(dr)
+                grads_im.append(-di)
+                off += nocc_k
+            out[re_name] = grads_re
+            out[im_name] = grads_im
+        return out

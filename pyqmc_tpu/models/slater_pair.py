@@ -252,12 +252,72 @@ class PairKSlater:
         return jax.lax.cond(pred, up_branch, dn_branch, state)
 
     def pgradient(self, params, positions):
-        """det_coeff gradient only (orbital pair-gradients: future work)."""
+        """Analytic fixed-phase parameter gradients d log|Psi| / d theta.
+
+        det_coeff: Re[(w_d / denom) / c_d]. Orbital coefficients (stored as
+        re/im real arrays, KPointOrbitals.make_pair_params): the holomorphic
+        D = d log Psi / dC is built from tr(M^-1 dM) in pair arithmetic —
+        the same machinery as Slater._pgradient_kpoint (parity with
+        /root/reference/pyqmc/wf/slater.py:462-542) — and projected onto
+        the real directions: d/dC_re = Re(D), d/dC_im = -Im(D).
+        """
         state = self.recompute(params, positions)
         wr, wi, dr_, di_, _ = self._expansion_weights(params, state)
         # d log|psi| / d c_d = Re[(w_d / c_d) / denom]
         qr, qi = cpair.cdiv(wr, wi, dr_[:, None], di_[:, None])
         out = {"det_coeff": qr / params["det_coeff"][None, :]}
-        for k, v in self.orbitals.make_pair_params().items():
-            out[k] = [jnp.zeros((positions.shape[0],) + b.shape, b.dtype) for b in v]
+
+        are, aim = self.orbitals._kaos_pair(positions, 0)[0]  # (c, ne, nk, nao)
+        mu = jnp.asarray(self.expansion.map_up)
+        md = jnp.asarray(self.expansion.map_dn)
+        nconf = positions.shape[0]
+        for invr, invi, occ, mp, sl, tag in (
+            (state.iur, state.iui, self.expansion.occ_up, mu,
+             slice(0, self.nup), "alpha"),
+            (state.idr, state.idi, self.expansion.occ_dn, md,
+             slice(self.nup, None), "beta"),
+        ):
+            re_name, im_name = f"mo_coeff_{tag}_re", f"mo_coeff_{tag}_im"
+            blocks = params[re_name]
+            nd, n = occ.shape
+            if n == 0:
+                out[re_name] = [
+                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
+                ]
+                out[im_name] = [
+                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
+                ]
+                continue
+            # per-unique-det complex weight: sum_terms w [map(term) = d] / denom
+            sel = (mp[:, None] == jnp.arange(nd)[None, :]).astype(wr.dtype)
+            wkr, wki = cpair.cdiv(
+                wr @ sel, wi @ sel, dr_[:, None], di_[:, None]
+            )
+            occf = jnp.asarray(occ)  # (nd, n)
+            grads_re, grads_im = [], []
+            off = 0
+            for k, b in enumerate(blocks):
+                nocc_k = b.shape[1]
+                akr, aki = are[:, sl, k, :], aim[:, sl, k, :]  # (c, n_s, nao)
+                # t = M^-1 @ ao (complex): (c, nd, n, nao)
+                tr = jnp.einsum("ckji,cim->ckjm", invr, akr) - jnp.einsum(
+                    "ckji,cim->ckjm", invi, aki
+                )
+                ti = jnp.einsum("ckji,cim->ckjm", invr, aki) + jnp.einsum(
+                    "ckji,cim->ckjm", invi, akr
+                )
+                onehot = (
+                    occf[..., None] == (off + jnp.arange(nocc_k))
+                ).astype(wr.dtype)  # (nd, n, nocc_k)
+                dr_k = jnp.einsum("ck,ckjm,kjo->cmo", wkr, tr, onehot) - (
+                    jnp.einsum("ck,ckjm,kjo->cmo", wki, ti, onehot)
+                )
+                di_k = jnp.einsum("ck,ckjm,kjo->cmo", wkr, ti, onehot) + (
+                    jnp.einsum("ck,ckjm,kjo->cmo", wki, tr, onehot)
+                )
+                grads_re.append(dr_k)
+                grads_im.append(-di_k)
+                off += nocc_k
+            out[re_name] = grads_re
+            out[im_name] = grads_im
         return out

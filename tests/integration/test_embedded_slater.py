@@ -96,3 +96,29 @@ def test_embedded_vmc_smoke(general_twist_setup):
     )
     assert np.isfinite(data[-1]["energytotal"])
     assert 0.1 < data[-1]["acceptance"] <= 1.0
+
+
+def test_embedded_pgradient(general_twist_setup):
+    """Orbital pgradient on the embedded path: FD contract check plus a
+    direct comparison against the complex path's holomorphic derivative."""
+    from pyqmc_tpu.models import testwf
+
+    sup, wf_c, wf_e = general_twist_setup
+    configs = initial_guess(sup, 3, key=jax.random.PRNGKey(8))
+    pe = wf_e.make_params()
+    testwf.test_pgradient(wf_e, pe, configs, jax.random.PRNGKey(9), tol=1e-4)
+
+    pc = wf_c.make_params()
+    g_c = wf_c.pgradient(pc, configs.positions)
+    g_e = wf_e.pgradient(pe, configs.positions)
+    for tag, cname in (("alpha", "mo_coeff_alpha"), ("beta", "mo_coeff_beta")):
+        for k in range(len(g_c[cname])):
+            d = np.asarray(g_c[cname][k])
+            np.testing.assert_allclose(
+                np.asarray(g_e[f"mo_coeff_{tag}_re"][k]), np.real(d),
+                rtol=1e-7, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_e[f"mo_coeff_{tag}_im"][k]), -np.imag(d),
+                rtol=1e-7, atol=1e-9,
+            )

@@ -144,3 +144,33 @@ def test_pair_det_coeff_optimization():
     assert recs[-1]["energy"] < recs[0]["energy"] + 0.1
     c = np.asarray(popt["det_coeff"])
     assert c[0] > abs(c[1]) and c[0] > abs(c[2])  # ground det dominates
+
+
+def test_pair_pgradient(multidet_twist):
+    """Orbital + det_coeff pgradient: FD contract check plus a direct
+    comparison against the complex path's holomorphic derivatives."""
+    from pyqmc_tpu.models import testwf
+
+    sup, wf_c, wf_p = multidet_twist
+    configs = initial_guess(sup, 3, key=jax.random.PRNGKey(6))
+    pp = wf_p.make_params()
+    testwf.test_pgradient(wf_p, pp, configs, jax.random.PRNGKey(7), tol=1e-4)
+
+    pc = wf_c.make_params()
+    g_c = wf_c.pgradient(pc, configs.positions)
+    g_p = wf_p.pgradient(pp, configs.positions)
+    np.testing.assert_allclose(
+        np.asarray(g_p["det_coeff"]), np.real(np.asarray(g_c["det_coeff"])),
+        rtol=1e-8, atol=1e-10,
+    )
+    for tag, cname in (("alpha", "mo_coeff_alpha"), ("beta", "mo_coeff_beta")):
+        for k in range(len(g_c[cname])):
+            d = np.asarray(g_c[cname][k])
+            np.testing.assert_allclose(
+                np.asarray(g_p[f"mo_coeff_{tag}_re"][k]), np.real(d),
+                rtol=1e-7, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_p[f"mo_coeff_{tag}_im"][k]), -np.imag(d),
+                rtol=1e-7, atol=1e-9,
+            )
