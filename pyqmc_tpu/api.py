@@ -36,7 +36,20 @@ from .method.extrapolate import tstep_extrapolate
 from .models.addwf import AddWF
 from .models.generic_jastrow import GeminalJastrow, GPSJastrow
 from .system.casci import run_casci, run_hci
+from .system.ci_import import (
+    interpret_ci,
+    expansion_from_determinants,
+    determinants_from_bitstrings,
+)
 from .system.io import save_system, load_system
-from .wftools import generate_wf, generate_slater, generate_jastrow
+from .wftools import (
+    generate_wf,
+    generate_slater,
+    generate_jastrow,
+    generate_jastrow3,
+    generate_gps_jastrow,
+    generate_geminal_jastrow,
+    read_superposition,
+)
 from .recipes import OPTIMIZE, VMC, DMC, read_mc_output
 from .reblock import reblock, reblock_by2, opt_block, reblock_summary

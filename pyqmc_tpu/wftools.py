@@ -14,9 +14,28 @@ from .models.multiply import MultiplyWF
 from .models import func3d
 
 
-def generate_slater(mol, mf, tol: float = 1e-8):
-    """Single- (or natural-orbital multi-) determinant Slater from SCF."""
-    return Slater.from_mean_field(mf)
+def generate_slater(mol, mf, mc=None, tol: float = 1e-8):
+    """Slater determinant (expansion) from SCF, optionally multi-determinant.
+
+    mc: a (DeterminantExpansion, det_coeff) pair (e.g. from
+    system.casci.run_casci/run_hci), or any external CASCI/HCI/SCI-style
+    object accepted by system.ci_import.interpret_ci (parity with the
+    reference's generate_slater(mc=...), wftools.py:27-61 +
+    pyscftools.py:252-298).
+    """
+    if mc is None:
+        return Slater.from_mean_field(mf)
+    if isinstance(mc, tuple) and len(mc) == 2:
+        exp, coeff = mc
+    else:
+        from .system.ci_import import interpret_ci
+
+        exp, coeff = interpret_ci(mc, tol)
+    norb_up = int(exp.occ_up.max()) + 1 if exp.occ_up.size else 0
+    norb_dn = int(exp.occ_dn.max()) + 1 if exp.occ_dn.size else 0
+    ca = mf.mo_coeff[0][:, :norb_up]
+    cb = mf.mo_coeff[1][:, :norb_dn]
+    return Slater(mol, None, exp, (ca, cb), det_coeff=jnp.asarray(coeff))
 
 
 def default_jastrow_basis(mol, na=4, nb=3, rcut=None):
@@ -53,18 +72,53 @@ def generate_jastrow3(mol, na=3, nb=3, rcut=None):
     return j3, {"ccoeff": True}
 
 
-def generate_wf(mol, mf, jastrow=True, jastrow3=False):
+def generate_gps_jastrow(mol, n_support=4, init_spread=1.0, seed=0,
+                         optimize_Xsupport=True):
+    """Gaussian-process-state pair Jastrow (wftools.py:165-182). Returns
+    (wf, to_opt)."""
+    from .models.generic_jastrow import GPSJastrow
+
+    wf = GPSJastrow(mol, n_support=n_support, init_spread=init_spread,
+                    seed=seed)
+    to_opt = {"alpha": True, "f": True, "Xsupport": bool(optimize_Xsupport)}
+    return wf, to_opt
+
+
+def generate_geminal_jastrow(mol):
+    """Geminal (AO-pair) Jastrow; returns (wf, to_opt). The reference builds
+    this through its generic jastrow list plumbing (wftools.py:236-243 with
+    geminaljastrow.GeminalJastrow)."""
+    from .models.generic_jastrow import GeminalJastrow
+
+    wf = GeminalJastrow(mol)
+    return wf, {"gcoeff": True}
+
+
+def generate_wf(mol, mf, jastrow=True, jastrow3=False, jastrow_kws=None,
+                mc=None):
     """Slater x Jastrow(s); returns (wf, params, to_opt).
 
+    `jastrow` may be a bool (default two-body), a factory callable
+    `f(mol, **kws) -> (wf, to_opt)` such as generate_gps_jastrow, or a list
+    of factories (reference wftools.generate_wf, wftools.py:195-243).
     to_opt freezes orbital/determinant coefficients by default (the common
     workflow optimizes Jastrows first; cf. recipes.py:31-110).
     """
-    wfs = [generate_slater(mol, mf)]
+    wfs = [generate_slater(mol, mf, mc=mc)]
     to_opts = [
         {"det_coeff": False, "mo_coeff_alpha": False, "mo_coeff_beta": False}
     ]
-    if jastrow:
-        j, t = generate_jastrow(mol)
+    if callable(jastrow) or isinstance(jastrow, (list, tuple)):
+        factories = jastrow if isinstance(jastrow, (list, tuple)) else [jastrow]
+        kws = jastrow_kws or [{}] * len(factories)
+        if not isinstance(kws, (list, tuple)):
+            kws = [kws]
+        for fac, kw in zip(factories, kws):
+            j, t = fac(mol, **kw)
+            wfs.append(j)
+            to_opts.append(t)
+    elif jastrow:
+        j, t = generate_jastrow(mol, **(jastrow_kws or {}))
         wfs.append(j)
         to_opts.append(t)
     if jastrow3:
@@ -76,6 +130,32 @@ def generate_wf(mol, mf, jastrow=True, jastrow3=False):
     wf = MultiplyWF(*wfs)
     params = wf.make_params()
     to_opt = {f"wf{i}": t for i, t in enumerate(to_opts)}
+    return wf, params, to_opt
+
+
+def read_superposition(mol, mf, wf_files, coeffs, **wf_kws):
+    """Superposition Psi = sum_i c_i Psi_i of separately optimized SJ
+    wavefunctions read from HDF5 files (wftools.read_superposition,
+    wftools.py:275-307). Returns (wf, params, to_opt)."""
+    import h5py
+    from .models.addwf import AddWF
+
+    wfs, param_list, to_opt = [], [], {}
+    for iwf, fname in enumerate(wf_files):
+        wf_i, params_i, to_opt_i = generate_wf(mol, mf, **wf_kws)
+        with h5py.File(fname, "r") as f:
+            if "wf" not in f:
+                raise ValueError(f"no 'wf' group in {fname}")
+            params_i = read_wf_params(f["wf"], params_i)
+        wfs.append(wf_i)
+        param_list.append(params_i)
+        to_opt[f"wf{iwf}"] = to_opt_i
+    wf = AddWF(*wfs)
+    params = wf.make_params()
+    for iwf, p in enumerate(param_list):
+        params[f"wf{iwf}"] = p
+    params["coeff"] = jnp.asarray(np.asarray(coeffs, dtype=np.float64))
+    to_opt["coeff"] = False
     return wf, params, to_opt
 
 
