@@ -30,13 +30,33 @@ from ..ops.gto import GTOSpec, eval_gto
 
 
 class MolecularOrbitals:
-    """Open-boundary orbitals: mo = ao @ C per spin."""
+    """Open-boundary orbitals: mo = ao @ C per spin.
 
-    def __init__(self, mol, mo_coeff: Tuple[np.ndarray, np.ndarray]):
+    fused: use the Pallas fused value/grad/lap kernel (ops/gto_pallas.py)
+    for mode-2 evaluations. "auto" enables it on TPU backends for bases
+    of >= 128 AOs, where it is measured faster than the XLA path
+    (tools/pallas_gto_bench.py: 1.8x at 552 AOs, parity below ~200).
+    """
+
+    _FUSED_MIN_NAO = 128
+
+    def __init__(self, mol, mo_coeff: Tuple[np.ndarray, np.ndarray],
+                 fused="auto"):
         self.spec = GTOSpec.from_molecule(mol)
         self._ca = np.asarray(mo_coeff[0])
         self._cb = np.asarray(mo_coeff[1])
         self.norb = (self._ca.shape[1], self._cb.shape[1])
+        if fused == "auto":
+            backend = jax.devices()[0].platform
+            fused = (
+                backend not in ("cpu", "gpu")
+                and self.spec.nao >= self._FUSED_MIN_NAO
+            )
+        self._fused2 = None
+        if fused:
+            from ..ops.gto_pallas import fused_eval_gto2
+
+            self._fused2 = fused_eval_gto2(self.spec)
 
     def make_params(self):
         return {
@@ -57,7 +77,10 @@ class MolecularOrbitals:
         if mode == 1:
             ao, aog = eval_gto(self.spec, X, 1)
             return (ao @ ca, ao @ cb, aog @ ca, aog @ cb)
-        ao, aog, aol = eval_gto(self.spec, X, 2)
+        if self._fused2 is not None and X.dtype == jnp.float32:
+            ao, aog, aol = self._fused2(X)
+        else:
+            ao, aog, aol = eval_gto(self.spec, X, 2)
         return (ao @ ca, ao @ cb, aog @ ca, aog @ cb, aol @ ca, aol @ cb)
 
 

@@ -179,3 +179,35 @@ def build_pallas_evaluator(spec: GTOSpec, tile: int = 512, interpret: bool = Fal
         return ao, grad, lap
 
     return evaluate
+
+
+def fused_eval_gto2(spec: GTOSpec, tile: int = 512, interpret: bool = False):
+    """mode=2 eval_gto drop-in built on the fused kernel.
+
+    Returns f(X (..., 3)) -> (ao (..., nao), grad (..., 3, nao),
+    lap (..., nao)); flattens leading dims and pads the point count to a
+    tile multiple. Measured on TPU v5e (tools/pallas_gto_bench.py,
+    dispatch-amortized): 1.04x vs XLA at 23 AOs, 1.09x at 184, 1.82x at
+    552 — the win grows with basis size because the fused kernel keeps
+    the power/harmonic tables in registers instead of re-reading HBM.
+    """
+    ev = build_pallas_evaluator(spec, tile=tile, interpret=interpret)
+    nao = spec.nao
+
+    def f(X):
+        shape = X.shape[:-1]
+        M = int(np.prod(shape)) if shape else 1
+        Xf = X.reshape(-1, 3)
+        Mp = ((M + tile - 1) // tile) * tile
+        if Mp != M:
+            Xf = jnp.concatenate(
+                [Xf, jnp.zeros((Mp - M, 3), X.dtype)], axis=0
+            )
+        ao, gr, lp = ev(Xf)
+        return (
+            ao[:M].reshape(shape + (nao,)),
+            gr[:M].reshape(shape + (3, nao)),
+            lp[:M].reshape(shape + (nao,)),
+        )
+
+    return f
