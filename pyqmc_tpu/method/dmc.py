@@ -301,8 +301,14 @@ def rundmc(
     warmup_vmc_blocks: int = 5,
     branchtime: int = 1,
     ewin: int = 25,
+    profile_dir: Optional[str] = None,
 ):
-    """Run DMC (cf. rundmc dmc.py:413-591); returns (block dicts, configs, weights)."""
+    """Run DMC (cf. rundmc dmc.py:413-591); returns (block dicts, configs, weights).
+
+    profile_dir: write a jax.profiler (XProf) trace of the first block —
+    the on-device timeline of the drift/diffusion sweep, ECP/T-move
+    evaluation and branching collectives.
+    """
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
     if energy_acc is None:
@@ -374,13 +380,22 @@ def rundmc(
     block_data = []
     ehist = [] if restart is None else [e_est]
     for b in range(block0, block0 + nblocks):
+        t0 = time.perf_counter()
         key, bkey, brkey = jax.random.split(key, 3)
-        positions, wrap, weights, avg = block_fn(
+        block_args = (
             params, positions, wrap, weights,
             bkey, jnp.asarray(e_trial, dtype), jnp.asarray(e_est, dtype),
             jnp.asarray(esigma, dtype),
         )
+        if profile_dir is not None and b == block0:
+            from ..utils.profiling import trace
+
+            with trace(profile_dir):
+                positions, wrap, weights, avg = block_fn(*block_args)
+        else:
+            positions, wrap, weights, avg = block_fn(*block_args)
         avg = jax.tree.map(lambda x: np.asarray(x), avg)
+        avg["block time"] = time.perf_counter() - t0
         wavg = float(avg["weight"])
         ehist.append(float(avg["energytotal"]))
         e_est = float(np.mean(ehist[-ewin:]))

@@ -158,11 +158,20 @@ def vmc(
     mesh: Optional[jax.sharding.Mesh] = None,
     continue_from_block: int = 0,
     block_fn=None,
+    profile_dir: Optional[str] = None,
+    profile_phases: bool = False,
 ):
     """Run VMC; returns (list of block dicts, final Configs).
 
     With `mesh`, walker arrays are sharded over the mesh's first axis and all
     block averages are computed as XLA collectives (single controller).
+
+    profile_dir: write a jax.profiler (XProf/TensorBoard) trace of the first
+    block to this directory — the on-device per-op timeline.
+    profile_phases: one-time move/accumulate wall-time split (the reference's
+    per-block breakdown, mc.py:150-152): a move-only block kernel is compiled
+    and timed against the full one; every block record then carries
+    "move time" / "accumulate time" estimates.
     """
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
@@ -196,14 +205,54 @@ def vmc(
     if hdf_file is not None:
         import h5py
 
+    phase_split = None
+    if profile_phases and accumulators:
+        from ..utils.profiling import sync
+
+        move_fn = make_vmc_block(
+            wf, {}, configs.geometry, tstep=tstep, nsteps=nsteps_per_block,
+            mesh=mesh, accumulate_every=accumulate_every,
+        )
+        # time both kernels, threading walker state (buffers are donated);
+        # the timing blocks double as extra equilibration
+        times = {"full": [], "move": []}
+        for i in range(4):  # first rep per kernel absorbs compilation
+            for tag, fn in (("full", block_fn), ("move", move_fn)):
+                key, k1 = jax.random.split(key)
+                t0 = time.perf_counter()
+                positions, wrap, _ = fn(params, positions, wrap, k1)
+                sync(positions)
+                if i > 0:
+                    times[tag].append(time.perf_counter() - t0)
+        t_full = float(np.median(times["full"]))
+        t_move = float(np.median(times["move"]))
+        phase_split = {
+            "move time": min(t_move, t_full),
+            "accumulate time": max(t_full - t_move, 0.0),
+        }
+        if verbose:
+            print(
+                f"phase split: move {phase_split['move time']:.4f}s, "
+                f"accumulate {phase_split['accumulate time']:.4f}s per block",
+                flush=True,
+            )
+
     block_data = []
     for b in range(continue_from_block, continue_from_block + nblocks):
         t0 = time.perf_counter()
         key, bkey = jax.random.split(key)
-        positions, wrap, avg = block_fn(params, positions, wrap, bkey)
+        if profile_dir is not None and b == continue_from_block:
+            from ..utils.profiling import trace
+
+            with trace(profile_dir):
+                positions, wrap, avg = block_fn(params, positions, wrap, bkey)
+        else:
+            positions, wrap, avg = block_fn(params, positions, wrap, bkey)
         avg = jax.tree.map(lambda x: np.asarray(x), avg)
         avg["block"] = b
         avg["block time"] = time.perf_counter() - t0
+        if phase_split is not None:
+            avg.update(phase_split)
         block_data.append(avg)
         if verbose:
             tot = avg.get("energytotal", None)

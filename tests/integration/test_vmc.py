@@ -77,3 +77,29 @@ def test_vmc_hdf5_checkpoint(tmp_path):
     with h5py.File(hdf, "r") as f:
         assert f["energytotal"].shape[0] == 4
         assert f["configs/positions"].shape == (50, 2, 3)
+
+
+def test_profiling_hooks(tmp_path):
+    """profile_phases attaches a move/accumulate split; profile_dir writes
+    an XProf trace of the first block."""
+    import os
+
+    mol = Molecule("He 0 0 0", basis="sto-3g")
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    configs = initial_guess(mol, 64, key=jax.random.PRNGKey(0))
+    tracedir = str(tmp_path / "trace")
+    data, _ = vmc(
+        wf, wf.make_params(), configs, nblocks=2, nsteps_per_block=4,
+        accumulators={"energy": EnergyAccumulator(mol)},
+        key=jax.random.PRNGKey(1),
+        profile_phases=True, profile_dir=tracedir,
+    )
+    for d in data:
+        assert "move time" in d and "accumulate time" in d
+        assert d["move time"] >= 0 and d["accumulate time"] >= 0
+    # the trace directory must contain profiler output
+    found = []
+    for root, _, files in os.walk(tracedir):
+        found += files
+    assert found, "no profiler trace written"
