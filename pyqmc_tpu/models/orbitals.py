@@ -208,6 +208,16 @@ class KPointOrbitals:
                 phase_rows.append((sh, ph))
                 off += 2 * sh.l + 1
         self._repl_spec = GTOSpec.from_shells(repl, np.asarray(centers), off)
+        # replicated-shell tables are large (every kept (shell, image) pair
+        # is its own shell), which is where the fused Pallas kernel wins
+        # (tools/pallas_gto_bench.py: 1.8x at 552 AOs); auto-enable for
+        # mode-2 sweeps on TPU backends
+        self._repl_fused2 = None
+        if (jax.devices()[0].platform not in ("cpu", "gpu")
+                and off >= MolecularOrbitals._FUSED_MIN_NAO):
+            from ..ops.gto_pallas import fused_eval_gto2
+
+            self._repl_fused2 = fused_eval_gto2(self._repl_spec)
         # P: (nao_repl, nk * nao) real
         P = np.zeros((off, self.nk * nao))
         row = 0
@@ -294,7 +304,11 @@ class KPointOrbitals:
         Xf, wphase = self._fold(X)  # wphase real (+-1) in real mode
         P = jnp.asarray(self._repl, X.dtype)  # (nao_repl, nk*nao)
         nao = self._repl_nao
-        out = eval_gto(self._repl_spec, Xf, mode)
+        if (mode == 2 and self._repl_fused2 is not None
+                and X.dtype == jnp.float32):
+            out = self._repl_fused2(Xf)
+        else:
+            out = eval_gto(self._repl_spec, Xf, mode)
         if mode == 0:
             out = (out,)
         res = []

@@ -49,3 +49,29 @@ def test_fused_eval_gto2_padding_and_shapes():
     np.testing.assert_allclose(ao, ao2, atol=1e-12)
     np.testing.assert_allclose(gr, gr2, atol=1e-12)
     np.testing.assert_allclose(lp, lp2, atol=1e-12)
+
+
+def test_fused_replicated_pbc_path():
+    """The replicated-shell PBC evaluator produces identical k-AOs through
+    the fused kernel (interpret mode) and the XLA path."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from fixtures_pbc import load_cell
+    from pyqmc_tpu.models.orbitals import KPointOrbitals
+    from pyqmc_tpu.ops.gto_pallas import fused_eval_gto2
+
+    cell, d = load_cell("diamond_primitive")
+    kpts = np.asarray(d["kpts"])
+    blocks = [np.asarray(d["mo_coeff"][k])[:, :4] for k in range(len(kpts))]
+    orb = KPointOrbitals(cell, kpts, (blocks, blocks), img_tol=1e-4)
+    assert orb.real_mode and orb._repl is not None
+    X = jnp.asarray(
+        np.random.default_rng(3).normal(scale=2.0, size=(24, 3)), jnp.float32
+    )
+    ref = orb._kaos_replicated(X, 2)
+    orb._repl_fused2 = fused_eval_gto2(orb._repl_spec, tile=64, interpret=True)
+    out = orb._kaos_replicated(X, 2)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
