@@ -19,8 +19,8 @@ from .method.twist_average import twist_average_vmc, build_twist_wf
 from .observables.accumulators import EnergyAccumulator
 from .observables.ecp import ECPAccumulator
 from .observables.ewald import Ewald
-from .observables.obdm import OBDMAccumulator
-from .observables.tbdm import TBDMAccumulator
+from .observables.obdm import OBDMAccumulator, KOBDMAccumulator
+from .observables.tbdm import TBDMAccumulator, KTBDMAccumulator
 from .observables.s2 import S2Accumulator
 from .observables.sq import SqAccumulator
 from .observables.symmetry import SymmetryAccumulator

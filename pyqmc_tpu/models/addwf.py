@@ -14,6 +14,13 @@ class AddWF:
     def __init__(self, *wfs):
         self.wfs = tuple(wfs)
         self.nelec = wfs[0].nelec
+        for w in wfs:
+            if getattr(w, "ratio_is_modulus", False):
+                raise ValueError(
+                    "AddWF needs component phases/signed ratios; the "
+                    "real-backend twist paths (ratio_is_modulus) report "
+                    "|ratio| only — superpose the complex Slater instead"
+                )
 
     def make_params(self):
         p = {f"wf{i}": w.make_params() for i, w in enumerate(self.wfs)}

@@ -6,6 +6,7 @@ uses sum_{i != j} g_i.g_j = |sum_i g_i|^2 - sum_i |g_i|^2
 (multiplywf.py:121-129).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -13,6 +14,12 @@ class MultiplyWF:
     def __init__(self, *wfs):
         self.wfs = tuple(wfs)
         self.nelec = wfs[0].nelec
+        # True when some factor's testvalue returns |ratio| with the
+        # sign/phase only available through testvalue_pair (real-backend
+        # twist paths); accumulators that need Re(ratio) check this flag.
+        self.ratio_is_modulus = any(
+            getattr(w, "ratio_is_modulus", False) for w in wfs
+        )
 
     def make_params(self):
         return {f"wf{i}": w.make_params() for i, w in enumerate(self.wfs)}
@@ -43,12 +50,47 @@ class MultiplyWF:
             saved.append(sv)
         return ratio, tuple(saved)
 
+    def testvalue_pair(self, params, state, e, epos):
+        """(re, im) ratio pair of the product: complex-pair multiply across
+        factors. Factors without a pair method contribute their (real)
+        testvalue ratio to both components. Present iff some factor defines
+        testvalue_pair (real-backend twist paths)."""
+        rr, ri = None, None
+        saved = []
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            if hasattr(w, "testvalue_pair"):
+                wr, wi, sv = w.testvalue_pair(p, s, e, epos)
+            else:
+                wr, sv = w.testvalue(p, s, e, epos)
+                wi = jnp.zeros_like(wr)
+            if rr is None:
+                rr, ri = wr, wi
+            else:
+                rr, ri = rr * wr - ri * wi, rr * wi + ri * wr
+            saved.append(sv)
+        return rr, ri, tuple(saved)
+
     def testvalue_many(self, params, state, epos):
         ratio = None
         for w, p, s in zip(self.wfs, self._split(params), state):
             r = w.testvalue_many(p, s, epos)
             ratio = r if ratio is None else ratio * r
         return ratio
+
+    def testvalue_many_pair(self, params, state, epos):
+        """(re, im) all-electron ratio pairs of the product."""
+        rr, ri = None, None
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            if hasattr(w, "testvalue_many_pair"):
+                wr, wi = w.testvalue_many_pair(p, s, epos)
+            else:
+                wr = w.testvalue_many(p, s, epos)
+                wi = jnp.zeros_like(wr)
+            if rr is None:
+                rr, ri = wr, wi
+            else:
+                rr, ri = rr * wr - ri * wi, rr * wi + ri * wr
+        return rr, ri
 
     def gradient(self, params, state, e, epos):
         g = None
@@ -87,6 +129,46 @@ class MultiplyWF:
             jnp.sum(g * g, axis=-1) for g in gs
         )
         return gtot, sum(laps) + cross
+
+    def gradient_laplacian_pair(self, params, state, e, epos):
+        """Complex grad log Psi and lap Psi/Psi of the product as REAL
+        (re, im) pairs; factors without a pair method (real wavefunctions,
+        e.g. Jastrows) contribute zero imaginary parts. The cross term is
+        the COMPLEX square (sum g)^2 - sum g^2, not the modulus."""
+        grs, gis, lrs, lis = [], [], [], []
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            if hasattr(w, "gradient_laplacian_pair"):
+                gr, gi, lr, li = w.gradient_laplacian_pair(p, s, e, epos)
+            else:
+                gr, lr = w.gradient_laplacian(p, s, e, epos)
+                gi, li = jnp.zeros_like(gr), jnp.zeros_like(lr)
+            grs.append(gr); gis.append(gi); lrs.append(lr); lis.append(li)
+        gtr, gti = sum(grs), sum(gis)
+        cross_re = (
+            jnp.sum(gtr * gtr - gti * gti, axis=-1)
+            - sum(jnp.sum(g * g - h * h, axis=-1) for g, h in zip(grs, gis))
+        )
+        cross_im = 2.0 * (
+            jnp.sum(gtr * gti, axis=-1)
+            - sum(jnp.sum(g * h, axis=-1) for g, h in zip(grs, gis))
+        )
+        return gtr, gti, sum(lrs) + cross_re, sum(lis) + cross_im
+
+    def pgradient_pair(self, params, positions):
+        """(re, im) parameter-gradient trees of the product (im = phase
+        channel; zeros for factors without pgradient_pair)."""
+        re_tree, im_tree = {}, {}
+        for i, (w, p) in enumerate(zip(self.wfs, self._split(params))):
+            if hasattr(w, "pgradient_pair"):
+                re_tree[f"wf{i}"], im_tree[f"wf{i}"] = w.pgradient_pair(
+                    p, positions
+                )
+            else:
+                re_tree[f"wf{i}"] = w.pgradient(p, positions)
+                im_tree[f"wf{i}"] = jax.tree.map(
+                    jnp.zeros_like, re_tree[f"wf{i}"]
+                )
+        return re_tree, im_tree
 
     def updateinternals(self, params, state, e, epos, mask, saved):
         return tuple(

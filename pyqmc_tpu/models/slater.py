@@ -383,12 +383,13 @@ class Slater:
         state = self.recompute(params, positions)
         w, denom, _ = self._expansion_weights(params, state)  # (c, ndet)
         # det_coeff: d log psi / d c_d = (w_d / c_d) / denom
+        # holomorphic d log psi / dc: complex for a complex wavefunction
+        # even when det_coeff itself is real — the imaginary (phase) part
+        # feeds the complex-channel SR gradient <E_I Im O>
+        # (observables/sr.py docstring); real wavefunctions produce real
+        # dtype here so nothing changes on the common path.
         dDet = (w / params["det_coeff"][None, :]) / denom[:, None]
-        out = {
-            "det_coeff": dDet
-            if jnp.iscomplexobj(params["det_coeff"])
-            else jnp.real(dDet)
-        }
+        out = {"det_coeff": dDet}
 
         if not isinstance(self.orbitals, MolecularOrbitals):
             out.update(self._pgradient_kpoint(params, positions, state, w, denom))
@@ -422,7 +423,7 @@ class Slater:
             occf = jnp.asarray(occ)  # (nd, n)
             onehot = (occf[..., None] == jnp.arange(norb)).astype(w.dtype)
             dC = jnp.einsum("ck,ckjm,kjo->cmo", wk, t, onehot)
-            # holomorphic d log psi / dC for complex coefficients (the
-            # re/im optimization split happens in LinearTransform)
-            out[cname] = dC if jnp.iscomplexobj(params[cname]) else jnp.real(dC)
+            # holomorphic d log psi / dC (the re/im optimization split
+            # happens in LinearTransform); real orbitals give real dtype
+            out[cname] = dC
         return out

@@ -54,6 +54,10 @@ def _embed(re, im):
 class EmbeddedKSlater:
     """Fixed-phase general-twist Slater on real-only backends."""
 
+    # testvalue returns |ratio|; the complex ratio's (re, im) pair is
+    # exposed through testvalue_pair (used by ECP/T-move/OBDM accumulators)
+    ratio_is_modulus = True
+
     def __init__(self, cell_or_supercell, orbitals: KPointOrbitals):
         self.nup, self.ndn = cell_or_supercell.nelec
         self.nelec = self.nup + self.ndn
@@ -133,9 +137,24 @@ class EmbeddedKSlater:
         rr, ri = out[0]
         return jnp.sqrt(rr * rr + ri * ri), saved
 
+    def testvalue_pair(self, params, state, e, epos):
+        """Complex ratio as a REAL (re, im) pair — consumed by accumulators
+        that need the phase/sign of the ratio (ECP nonlocal projection,
+        T-moves, OBDM), not just the Metropolis modulus. Parity with the
+        complex path's testvalue (reference wf/slater.py:300-335)."""
+        out, saved = self._ratio_pair(params, state, e, epos, 0)
+        rr, ri = out[0]
+        return rr, ri, saved
+
     def testvalue_many(self, params, state, epos):
+        rr, ri = self.testvalue_many_pair(params, state, epos)
+        return jnp.sqrt(rr * rr + ri * ri)
+
+    def testvalue_many_pair(self, params, state, epos):
+        """(re, im) ratio pairs for replacing EACH electron by epos —
+        phased ratios for density-matrix accumulators."""
         pairs = self.orbitals.eval_pair(params, epos, 0)
-        cols = []
+        colr, coli = [], []
         for e in range(self.nelec):
             pred, row_up, row_dn = self._spin_row(jnp.int32(e))
             if e < self.nup:
@@ -146,8 +165,9 @@ class EmbeddedKSlater:
                 rr, ri = self._complex_ratio(
                     state.inv_dn, self.ndn, row_dn, pairs[2], pairs[3]
                 )
-            cols.append(jnp.sqrt(rr * rr + ri * ri))
-        return jnp.stack(cols, axis=1)
+            colr.append(rr)
+            coli.append(ri)
+        return jnp.stack(colr, axis=1), jnp.stack(coli, axis=1)
 
     def gradient_value(self, params, state, e, epos):
         out, saved = self._ratio_pair(params, state, e, epos, 1)
@@ -162,12 +182,23 @@ class EmbeddedKSlater:
         return g
 
     def gradient_laplacian(self, params, state, e, epos):
+        g, _, lap, _ = self.gradient_laplacian_pair(params, state, e, epos)
+        return g, lap
+
+    def gradient_laplacian_pair(self, params, state, e, epos):
+        """Complex grad log Psi and lap Psi/Psi as REAL (re, im) pairs.
+
+        The imaginary parts (phase gradient/curvature) feed the
+        complex-channel local energy E_I used by the SR gradient of
+        general-twist wavefunctions (observables/sr.py docstring)."""
         out, _ = self._ratio_pair(params, state, e, epos, 2)
         (rr, ri), (gr, gi), (lr, li) = out
         mod2 = rr * rr + ri * ri
-        grad = (gr * rr[:, None] + gi * ri[:, None]) / mod2[:, None]
-        lap = (lr * rr + li * ri) / mod2
-        return grad, lap
+        g_re = (gr * rr[:, None] + gi * ri[:, None]) / mod2[:, None]
+        g_im = (gi * rr[:, None] - gr * ri[:, None]) / mod2[:, None]
+        l_re = (lr * rr + li * ri) / mod2
+        l_im = (li * rr - lr * ri) / mod2
+        return g_re, g_im, l_re, l_im
 
     def updateinternals(self, params, state, e, epos, mask, saved):
         pred, row_up, row_dn = self._spin_row(e)
@@ -212,18 +243,27 @@ class EmbeddedKSlater:
         return jax.lax.cond(pred, up_branch, dn_branch, state)
 
     def pgradient(self, params, positions):
-        """Analytic fixed-phase d log|Psi| / d mo_coeff (re/im directions).
+        """Analytic fixed-phase d log|Psi| / d mo_coeff (re/im directions) —
+        the real channel of pgradient_pair."""
+        re, _ = self.pgradient_pair(params, positions)
+        return re
+
+    def pgradient_pair(self, params, positions):
+        """(re, im) parameter-gradient trees: re = d log|Psi| / d theta,
+        im = d arg(Psi) / d theta (phase channel for the complex SR
+        gradient, observables/sr.py docstring).
 
         The complex inverse blocks come straight from the embedded inverse
         (inv(E) = E(inv M)); D[a, j] = sum_i kao[i, a] invM[j, i] is the
         holomorphic tr(M^-1 dM) derivative per k-block (parity with
-        /root/reference/pyqmc/wf/slater.py:462-542), giving d/dC_re = Re(D)
-        and d/dC_im = -Im(D).
+        /root/reference/pyqmc/wf/slater.py:462-542), giving
+            d log Psi / dC_re = D    -> (Re D, Im D)
+            d log Psi / dC_im = i D  -> (-Im D, Re D).
         """
         state = self.recompute(params, positions)
         are, aim = self.orbitals._kaos_pair(positions, 0)[0]  # (c, ne, nk, nao)
         nconf = positions.shape[0]
-        out = {}
+        out, outi = {}, {}
         for inv, n, sl, tag in (
             (state.inv_up, self.nup, slice(0, self.nup), "alpha"),
             (state.inv_dn, self.ndn, slice(self.nup, None), "beta"),
@@ -231,16 +271,16 @@ class EmbeddedKSlater:
             re_name, im_name = f"mo_coeff_{tag}_re", f"mo_coeff_{tag}_im"
             blocks = params[re_name]
             if n == 0:
-                out[re_name] = [
-                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
-                ]
-                out[im_name] = [
-                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
-                ]
+                zeros = [jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks]
+                out[re_name] = zeros
+                out[im_name] = list(zeros)
+                outi[re_name] = list(zeros)
+                outi[im_name] = list(zeros)
                 continue
             invr = inv[:, :n, :n]  # Re inv(M)
             invi = inv[:, n:, :n]  # Im inv(M)
             grads_re, grads_im = [], []
+            phase_re, phase_im = [], []
             off = 0
             for k, b in enumerate(blocks):
                 nocc_k = b.shape[1]
@@ -255,7 +295,11 @@ class EmbeddedKSlater:
                 )
                 grads_re.append(dr)
                 grads_im.append(-di)
+                phase_re.append(di)
+                phase_im.append(dr)
                 off += nocc_k
             out[re_name] = grads_re
             out[im_name] = grads_im
-        return out
+            outi[re_name] = phase_re
+            outi[im_name] = phase_im
+        return out, outi

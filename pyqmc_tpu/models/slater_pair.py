@@ -42,6 +42,10 @@ class PairSlaterState(NamedTuple):
 class PairKSlater:
     """General-twist multi-determinant Slater on real-only backends."""
 
+    # testvalue returns |ratio|; the complex ratio's (re, im) pair is
+    # exposed through testvalue_pair (used by ECP/T-move/OBDM accumulators)
+    ratio_is_modulus = True
+
     def __init__(self, cell_or_supercell, orbitals: KPointOrbitals, expansion,
                  det_coeff=None):
         self.nup, self.ndn = cell_or_supercell.nelec
@@ -164,16 +168,33 @@ class PairKSlater:
         saved = {"pairs": pairs}
         return jnp.sqrt(cpair.cabs2(qr, qi)), saved
 
-    def testvalue_many(self, params, state, epos):
+    def testvalue_pair(self, params, state, e, epos):
+        """Complex ratio as a REAL (re, im) pair — for accumulators that
+        need the ratio's phase (ECP nonlocal projection, T-moves, OBDM),
+        not just the Metropolis modulus."""
         pairs = self.orbitals.eval_pair(params, epos, 0)
-        cols = []
+        nr, ni, dr_, di_ = self._ratio_terms(params, state, e, pairs)
+        qr, qi = cpair.cdiv(nr, ni, dr_, di_)
+        return qr, qi, {"pairs": pairs}
+
+    def testvalue_many(self, params, state, epos):
+        rr, ri = self.testvalue_many_pair(params, state, epos)
+        return jnp.sqrt(cpair.cabs2(rr, ri))
+
+    def testvalue_many_pair(self, params, state, epos):
+        """(re, im) ratio pairs for replacing EACH electron by epos —
+        phased ratios for density-matrix accumulators (cf. reference
+        obdm.py:134-191 which consumes complex testvalue_many)."""
+        pairs = self.orbitals.eval_pair(params, epos, 0)
+        colr, coli = [], []
         for e in range(self.nelec):
             nr, ni, dr_, di_ = self._ratio_terms(
                 params, state, jnp.int32(e), pairs
             )
             qr, qi = cpair.cdiv(nr, ni, dr_, di_)
-            cols.append(jnp.sqrt(cpair.cabs2(qr, qi)))
-        return jnp.stack(cols, axis=1)
+            colr.append(qr)
+            coli.append(qi)
+        return jnp.stack(colr, axis=1), jnp.stack(coli, axis=1)
 
     def gradient_value(self, params, state, e, epos):
         out = self.orbitals.eval_pair(params, epos, 1)
@@ -193,15 +214,24 @@ class PairKSlater:
         return g
 
     def gradient_laplacian(self, params, state, e, epos):
+        gr, _, lr, _ = self.gradient_laplacian_pair(params, state, e, epos)
+        return gr, lr
+
+    def gradient_laplacian_pair(self, params, state, e, epos):
+        """Complex grad/lap of log Psi as REAL (re, im) pairs.
+
+        The imaginary parts (phase gradient/curvature) feed the
+        complex-channel local energy E_I used by the SR gradient of
+        general-twist wavefunctions (observables/sr.py docstring)."""
         out = self.orbitals.eval_pair(params, epos, 2)
         v_pairs, g_pairs, l_pairs = out[:4], out[4:8], out[8:]
         nr, ni, _, _ = self._ratio_terms(params, state, e, v_pairs)
         gp = tuple(p.reshape(p.shape[0], 3, -1) for p in g_pairs)
         gnr, gni, _, _ = self._ratio_terms(params, state, e, gp)
         lnr, lni, _, _ = self._ratio_terms(params, state, e, l_pairs)
-        gr, _ = cpair.cdiv(gnr, gni, nr[:, None], ni[:, None])
-        lr, _ = cpair.cdiv(lnr, lni, nr, ni)
-        return gr, lr
+        gr, gi = cpair.cdiv(gnr, gni, nr[:, None], ni[:, None])
+        lr, li = cpair.cdiv(lnr, lni, nr, ni)
+        return gr, gi, lr, li
 
     def updateinternals(self, params, state, e, epos, mask, saved):
         pred, row_up, row_dn = self._spin_row(e)
@@ -252,20 +282,33 @@ class PairKSlater:
         return jax.lax.cond(pred, up_branch, dn_branch, state)
 
     def pgradient(self, params, positions):
-        """Analytic fixed-phase parameter gradients d log|Psi| / d theta.
+        """Analytic fixed-phase parameter gradients d log|Psi| / d theta
+        (the real channel of pgradient_pair)."""
+        re, _ = self.pgradient_pair(params, positions)
+        return re
 
-        det_coeff: Re[(w_d / denom) / c_d]. Orbital coefficients (stored as
-        re/im real arrays, KPointOrbitals.make_pair_params): the holomorphic
+    def pgradient_pair(self, params, positions):
+        """(re, im) parameter-gradient trees: re = d log|Psi| / d theta,
+        im = d arg(Psi) / d theta, both real pytrees shaped like params.
+
+        det_coeff: (w_d / denom) / c_d split into (Re, Im). Orbital
+        coefficients (stored as re/im real arrays,
+        KPointOrbitals.make_pair_params): the holomorphic
         D = d log Psi / dC is built from tr(M^-1 dM) in pair arithmetic —
         the same machinery as Slater._pgradient_kpoint (parity with
         /root/reference/pyqmc/wf/slater.py:462-542) — and projected onto
-        the real directions: d/dC_re = Re(D), d/dC_im = -Im(D).
+        the real directions:
+            d log Psi / dC_re = D    -> (Re D, Im D)
+            d log Psi / dC_im = i D  -> (-Im D, Re D)
+        The im tree is the phase-derivative channel consumed by the
+        complex-parameter SR gradient (observables/sr.py docstring).
         """
         state = self.recompute(params, positions)
         wr, wi, dr_, di_, _ = self._expansion_weights(params, state)
-        # d log|psi| / d c_d = Re[(w_d / c_d) / denom]
+        # d log psi / d c_d = (w_d / c_d) / denom
         qr, qi = cpair.cdiv(wr, wi, dr_[:, None], di_[:, None])
         out = {"det_coeff": qr / params["det_coeff"][None, :]}
+        outi = {"det_coeff": qi / params["det_coeff"][None, :]}
 
         are, aim = self.orbitals._kaos_pair(positions, 0)[0]  # (c, ne, nk, nao)
         mu = jnp.asarray(self.expansion.map_up)
@@ -281,12 +324,11 @@ class PairKSlater:
             blocks = params[re_name]
             nd, n = occ.shape
             if n == 0:
-                out[re_name] = [
-                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
-                ]
-                out[im_name] = [
-                    jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks
-                ]
+                zeros = [jnp.zeros((nconf,) + b.shape, b.dtype) for b in blocks]
+                out[re_name] = zeros
+                out[im_name] = list(zeros)
+                outi[re_name] = list(zeros)
+                outi[im_name] = list(zeros)
                 continue
             # per-unique-det complex weight: sum_terms w [map(term) = d] / denom
             sel = (mp[:, None] == jnp.arange(nd)[None, :]).astype(wr.dtype)
@@ -295,6 +337,7 @@ class PairKSlater:
             )
             occf = jnp.asarray(occ)  # (nd, n)
             grads_re, grads_im = [], []
+            phase_re, phase_im = [], []
             off = 0
             for k, b in enumerate(blocks):
                 nocc_k = b.shape[1]
@@ -317,7 +360,11 @@ class PairKSlater:
                 )
                 grads_re.append(dr_k)
                 grads_im.append(-di_k)
+                phase_re.append(di_k)
+                phase_im.append(dr_k)
                 off += nocc_k
             out[re_name] = grads_re
             out[im_name] = grads_im
-        return out
+            outi[re_name] = phase_re
+            outi[im_name] = phase_im
+        return out, outi

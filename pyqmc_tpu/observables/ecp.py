@@ -323,11 +323,29 @@ class ECPAccumulator:
         T_all = jnp.concatenate(Ts, axis=1)
         return aux_all, T_all, None
 
+    @staticmethod
+    def _ratio_pair(wf, params, state, e, epos):
+        """Wavefunction ratio at aux points as (re, im); im is None for
+        real wavefunctions (the common TPU path — no wasted imag work).
+
+        Real-backend twist wavefunctions return |ratio| from testvalue
+        (Metropolis only needs the modulus) and expose the complex pair
+        through testvalue_pair; the nonlocal projection needs the latter —
+        sum_q T_q Re(ratio_q) with signed/phased ratios, parity with the
+        reference's complex evaluation (eval_ecp.py:150-176)."""
+        if getattr(wf, "ratio_is_modulus", False):
+            rr, ri, _ = wf.testvalue_pair(params, state, e, epos)
+            return rr, ri
+        r, _ = wf.testvalue(params, state, e, epos)
+        if jnp.iscomplexobj(r):
+            return jnp.real(r), jnp.imag(r)
+        return r, None
+
     def _electron_quadrature(self, wf, params, state, positions, e, key):
-        """Dense quadrature incl. wavefunction ratios at every point."""
+        """Dense quadrature incl. wavefunction ratio pairs at every point."""
         aux_all, T_all, _ = self._quadrature_geometry(positions, e, key)
-        ratios, _ = wf.testvalue(params, state, e, aux_all)
-        return aux_all, T_all, ratios
+        rr, ri = self._ratio_pair(wf, params, state, e, aux_all)
+        return aux_all, T_all, (rr, ri)
 
     def _nonlocal_electron(self, wf, params, state, positions, e, key):
         """Nonlocal ECP energy contribution of electron e.
@@ -337,18 +355,16 @@ class ECPAccumulator:
         wavefunctions — the common TPU path)."""
         nq_total = len(self.atoms) * self.naip
         if self.nselect is None or self.nselect >= nq_total:
-            _, T, ratios = self._electron_quadrature(
+            _, T, (rr, ri) = self._electron_quadrature(
                 wf, params, state, positions, e, key
             )
         else:
-            T, ratios = self._downselected_quadrature(
+            T, (rr, ri) = self._downselected_quadrature(
                 wf, params, state, positions, e, key
             )
-        re = jnp.sum(T * jnp.real(ratios), axis=1)
+        re = jnp.sum(T * rr, axis=1)
         im = (
-            jnp.sum(T * jnp.imag(ratios), axis=1)
-            if jnp.iscomplexobj(ratios)
-            else jnp.zeros_like(re)
+            jnp.sum(T * ri, axis=1) if ri is not None else jnp.zeros_like(re)
         )
         return re, im
 
@@ -382,8 +398,8 @@ class ECPAccumulator:
         wts = jnp.concatenate([jnp.ones_like(topv), wstoch], axis=1)
         Tsel = jnp.take_along_axis(T, idx, axis=1) * wts
         aux_sel = jnp.take_along_axis(aux, idx[:, :, None], axis=1)
-        ratios, _ = wf.testvalue(params, state, e, aux_sel)
-        return Tsel, ratios
+        rr, ri = self._ratio_pair(wf, params, state, e, aux_sel)
+        return Tsel, (rr, ri)
 
     def tmove_quadrature(self, wf, params, state, positions, e, key, tau):
         """T-move quadrature for electron e (Casula size-consistent form,
@@ -394,10 +410,10 @@ class ECPAccumulator:
         ratios r_q. Forward amplitudes are max(0, w_q r_q); backward
         amplitudes after moving to point m are max(0, w_q r_q / r_m)
         (exact ratio composition on the same quadrature sphere)."""
-        aux, T, ratios = self._electron_quadrature(
+        aux, T, (rr, _) = self._electron_quadrature(
             wf, params, state, positions, e, key
         )
-        return aux, -tau * T, jnp.real(ratios)
+        return aux, -tau * T, rr
 
     def tmove_data(self, wf, params, state, positions, e, key, tau):
         """(aux points, forward amplitudes t_q >= 0) — see tmove_quadrature."""

@@ -21,9 +21,23 @@ def kinetic_energy(wf, params, state, positions, with_imag=False):
     """
     nconf, nelec = positions.shape[:2]
     dtype = positions.dtype
+    # real-backend twist wavefunctions carry the phase-curvature channel in
+    # gradient_laplacian_pair (their gradient_laplacian returns Re only)
+    use_pair = getattr(wf, "ratio_is_modulus", False) and hasattr(
+        wf, "gradient_laplacian_pair"
+    )
 
     def body(e, carry):
         lap_acc, grad2_acc, lapim_acc = carry
+        if use_pair:
+            gr, gi, lap_re, lap_im = wf.gradient_laplacian_pair(
+                params, state, e, positions[:, e, :]
+            )
+            return (
+                lap_acc + lap_re,
+                grad2_acc + jnp.sum(gr * gr + gi * gi, axis=-1),
+                lapim_acc + lap_im,
+            )
         g, lap = wf.gradient_laplacian(params, state, e, positions[:, e, :])
         lap_im = jnp.imag(lap) if jnp.iscomplexobj(lap) else jnp.zeros_like(lap_acc)
         return (

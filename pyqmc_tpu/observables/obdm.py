@@ -39,6 +39,44 @@ class GaussianMixture:
         return norm * jnp.sum(jnp.exp(-r2 / (2 * self.sigma**2)), axis=1)
 
 
+class PeriodicGaussianMixture:
+    """Atom-centered Gaussian mixture wrapped into a periodic cell.
+
+    sample() returns (wrapped points, their EXACT density): the density of
+    a wrapped Gaussian is the image sum over lattice translations,
+    truncated to the 27 nearest images (error ~ exp(-(|L|/sigma)^2/2),
+    negligible for sigma well under the cell span). Dividing estimators
+    by this density keeps them unbiased for any q > 0."""
+
+    def __init__(self, cell, sigma=1.5):
+        self.inner = GaussianMixture(cell.atom_coords, sigma)
+        self.lattice = np.asarray(cell.lattice, dtype=np.float64)
+        self.lattice_inv = np.linalg.inv(self.lattice)
+        ii, jj, kk = np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij")
+        self.shifts = (
+            np.stack([ii, jj, kk], axis=-1).reshape(-1, 3) @ self.lattice
+        )
+
+    def sample(self, key, n, dtype):
+        from ..ops.pbc import enforce_pbc
+
+        r = self.inner.sample(key, n, dtype)
+        lat = jnp.asarray(self.lattice, dtype)
+        raux, _ = enforce_pbc(lat, jnp.asarray(self.lattice_inv, dtype), r)
+        return raux, self.density(raux)
+
+    def density(self, X):
+        d = (
+            X[:, None, None, :]
+            - jnp.asarray(self.inner.centers, X.dtype)[None, :, None, :]
+            + jnp.asarray(self.shifts, X.dtype)[None, None, :, :]
+        )
+        r2 = jnp.sum(d * d, axis=-1)
+        sig = self.inner.sigma
+        norm = (2 * np.pi * sig**2) ** -1.5 / len(self.inner.centers)
+        return norm * jnp.sum(jnp.exp(-r2 / (2 * sig**2)), axis=(1, 2))
+
+
 class OBDMAccumulator:
     """rho_ij in the basis of `orb_coeff` columns (spin-summed or per spin).
 
@@ -91,6 +129,92 @@ class OBDMAccumulator:
     def shapes(self):
         n = self.orb_coeff.shape[1]
         return {"value": (n, n)}
+
+
+class KOBDMAccumulator:
+    """One-body density matrix for PERIODIC cells in the k-point MO basis
+    (parity with the reference's PBCOrbitalEvaluatorKpoints-backed OBDM,
+    obdm.py:92-118, redesigned stateless like OBDMAccumulator above).
+
+    The auxiliary coordinate is drawn from an atom-centered Gaussian
+    mixture WRAPPED into the cell; its exact density is the image sum
+    q(r) = (1/natoms) sum_a sum_L N(r - R_a + L; sigma), truncated to the
+    27 nearest images (error ~ exp(-(|L|/sigma)^2/2), negligible for
+    sigma well under the cell span). Dividing by q keeps the estimator
+    unbiased for any q > 0.
+
+    Works with both the complex wavefunction path (testvalue_many) and
+    the real-pair TPU tiers (testvalue_many_pair + eval_pair — no complex
+    ops anywhere). Always returns split real arrays
+    {"value_re", "value_im"} of shape (nconf, norb, norb).
+
+    spin: 0 (up electrons / alpha orbitals) or 1 (down / beta).
+    """
+
+    def __init__(self, cell_or_supercell, orbitals, spin=0, aux_sigma=1.5):
+        self.orbitals = orbitals
+        self.nup, self.ndn = cell_or_supercell.nelec
+        if spin not in (0, 1):
+            raise ValueError("KOBDM measures one spin sector: spin in (0, 1)")
+        self.spin = spin
+        self.mixture = PeriodicGaussianMixture(cell_or_supercell, aux_sigma)
+        self.norb = orbitals.norb[spin]
+
+    def _electron_slice(self):
+        return (0, self.nup) if self.spin == 0 else (
+            self.nup, self.nup + self.ndn
+        )
+
+    def __call__(self, wf, params, state, positions, key):
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+        raux, q = self.mixture.sample(key, nconf, dtype)
+        lo, hi = self._electron_slice()
+        qinv = 1.0 / q
+        if getattr(wf, "ratio_is_modulus", False):
+            rr, ri = wf.testvalue_many_pair(params, state, raux)
+            rr, ri = rr[:, lo:hi], ri[:, lo:hi]
+            pa = self.orbitals.eval_pair(params, raux, 0)
+            pe = self.orbitals.eval_pair(params, positions, 0)
+            s = self.spin
+            ar, ai = pa[2 * s], pa[2 * s + 1]  # (c, norb) at aux
+            er, ei = pe[2 * s][:, lo:hi], pe[2 * s + 1][:, lo:hi]
+            # contrib = sum_e ratio_e conj(phi(r')) phi(r_e):
+            # (rr+i ri)(ar-i ai)(er+i ei), expanded in real einsums
+            tr_r = jnp.einsum("ce,ci->cei", rr, ar) + jnp.einsum(
+                "ce,ci->cei", ri, ai
+            )
+            tr_i = jnp.einsum("ce,ci->cei", ri, ar) - jnp.einsum(
+                "ce,ci->cei", rr, ai
+            )
+            v_re = jnp.einsum("cei,cej->cij", tr_r, er) - jnp.einsum(
+                "cei,cej->cij", tr_i, ei
+            )
+            v_im = jnp.einsum("cei,cej->cij", tr_r, ei) + jnp.einsum(
+                "cei,cej->cij", tr_i, er
+            )
+            return {
+                "value_re": v_re * qinv[:, None, None],
+                "value_im": v_im * qinv[:, None, None],
+            }
+        ratios = wf.testvalue_many(params, state, raux)[:, lo:hi]
+        phi_aux = self.orbitals.eval(params, raux, 0)[self.spin]
+        phi_e = self.orbitals.eval(params, positions, 0)[self.spin][:, lo:hi]
+        contrib = jnp.einsum(
+            "ce,ci,cej->cij", ratios, jnp.conj(phi_aux), phi_e
+        ) * qinv[:, None, None]
+        return {"value_re": jnp.real(contrib), "value_im": jnp.imag(contrib)}
+
+    def avg(self, wf, params, state, positions, key=None):
+        dat = self(wf, params, state, positions, key)
+        return {k: jnp.mean(v, axis=0) for k, v in dat.items()}
+
+    def keys(self):
+        return {"value_re", "value_im"}
+
+    def shapes(self):
+        return {"value_re": (self.norb, self.norb),
+                "value_im": (self.norb, self.norb)}
 
 
 def normalize_obdm(rho, norm=None):

@@ -28,9 +28,19 @@ class S2Accumulator:
 
         ones = jnp.ones(nconf, dtype=bool)
 
+        # real-backend twist wavefunctions return |ratio| from testvalue;
+        # the exchange expectation needs Re(r1 r2), so take the complex
+        # pair channel when present (models/slater_pair.testvalue_pair)
+        use_pair = getattr(wf, "ratio_is_modulus", False)
+
         def pair_swap(i, j):
             ri = positions[:, i, :]
             rj = positions[:, j, :]
+            if use_pair:
+                r1r, r1i, saved1 = wf.testvalue_pair(params, state, i, rj)
+                st1 = wf.updateinternals(params, state, i, rj, ones, saved1)
+                r2r, r2i, _ = wf.testvalue_pair(params, st1, j, ri)
+                return r1r * r2r - r1i * r2i
             r1, saved1 = wf.testvalue(params, state, i, rj)
             st1 = wf.updateinternals(params, state, i, rj, ones, saved1)
             r2, _ = wf.testvalue(params, st1, j, ri)

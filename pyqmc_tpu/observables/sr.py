@@ -64,8 +64,18 @@ class StochasticReconfiguration:
         d = self.energy_acc(
             wf, params, state, positions, key=key, with_imag=True
         )
-        pgrad = wf.pgradient(params, positions)
-        R, I = self.transform.serialize_gradients_pair(pgrad)
+        if getattr(wf, "ratio_is_modulus", False) and hasattr(
+            wf, "pgradient_pair"
+        ):
+            # real-backend twist path: params are real (re/im split) but
+            # O = dlnPsi/dp is complex; the phase channel arrives as a
+            # separate real tree (models/slater_pair.pgradient_pair)
+            pre, pim = wf.pgradient_pair(params, positions)
+            R = self.transform.serialize_batch(pre)
+            I = self.transform.serialize_batch(pim)
+        else:
+            pgrad = wf.pgradient(params, positions)
+            R, I = self.transform.serialize_gradients_pair(pgrad)
         return {
             "total": d["total"], "total_im": d["total_im"],
             "grad2": d["grad2"], "dpR": R, "dpI": I,

@@ -122,3 +122,73 @@ def test_embedded_pgradient(general_twist_setup):
                 np.asarray(g_e[f"mo_coeff_{tag}_im"][k]), -np.imag(d),
                 rtol=1e-7, atol=1e-9,
             )
+
+
+def test_embedded_ecp_matches_complex(general_twist_setup):
+    """Nonlocal ECP projection needs the RATIO'S PHASE, not its modulus:
+    the embedded path must reproduce the complex path's per-walker ECP
+    local energy (real and imaginary channels) through testvalue_pair."""
+    from pyqmc_tpu.observables.ecp import ECPAccumulator
+
+    sup, wf_c, wf_e = general_twist_setup
+    pc, pe = wf_c.make_params(), wf_e.make_params()
+    configs = initial_guess(sup, 6, key=jax.random.PRNGKey(21))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_e = wf_e.recompute(pe, pos)
+    acc = ECPAccumulator(sup, naip=6)
+    key = jax.random.PRNGKey(22)
+    ec, ec_im = acc(wf_c, pc, st_c, pos, key, with_imag=True)
+    ee, ee_im = acc(wf_e, pe, st_e, pos, key, with_imag=True)
+    np.testing.assert_allclose(np.asarray(ee), np.asarray(ec),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ee_im), np.asarray(ec_im),
+                               rtol=1e-6, atol=1e-9)
+    # the imaginary channel is genuinely nonzero at a general twist
+    assert np.max(np.abs(np.asarray(ec_im))) > 1e-8
+
+
+def test_embedded_imag_channels(general_twist_setup):
+    """Phase-channel parity with the complex path (see the pair-path test
+    of the same name): Im grad/lap, E_I, and the phase pgradient tree."""
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+
+    sup, wf_c, wf_e = general_twist_setup
+    pc, pe = wf_c.make_params(), wf_e.make_params()
+    configs = initial_guess(sup, 4, key=jax.random.PRNGKey(51))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_e = wf_e.recompute(pe, pos)
+    for e in (0, 11):
+        epos = pos[:, e, :]
+        g_c, l_c = wf_c.gradient_laplacian(pc, st_c, jnp.int32(e), epos)
+        gr, gi, lr, li = wf_e.gradient_laplacian_pair(
+            pe, st_e, jnp.int32(e), epos
+        )
+        np.testing.assert_allclose(np.asarray(gi), np.imag(np.asarray(g_c)),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(li), np.imag(np.asarray(l_c)),
+                                   rtol=1e-6, atol=1e-9)
+    acc = EnergyAccumulator(sup)
+    key = jax.random.PRNGKey(52)
+    d_c = acc(wf_c, pc, st_c, pos, key=key, with_imag=True)
+    d_e = acc(wf_e, pe, st_e, pos, key=key, with_imag=True)
+    np.testing.assert_allclose(np.asarray(d_e["total"]),
+                               np.asarray(d_c["total"]), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(d_e["total_im"]),
+                               np.asarray(d_c["total_im"]),
+                               rtol=1e-6, atol=1e-9)
+    # phase pgradient vs holomorphic complex derivatives
+    g_c = wf_c.pgradient(pc, pos)
+    _, g_im = wf_e.pgradient_pair(pe, pos)
+    for tag, cname in (("alpha", "mo_coeff_alpha"), ("beta", "mo_coeff_beta")):
+        for k in range(len(g_c[cname])):
+            d = np.asarray(g_c[cname][k])
+            np.testing.assert_allclose(
+                np.asarray(g_im[f"mo_coeff_{tag}_re"][k]), np.imag(d),
+                rtol=1e-7, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_im[f"mo_coeff_{tag}_im"][k]), np.real(d),
+                rtol=1e-7, atol=1e-9,
+            )

@@ -174,3 +174,191 @@ def test_pair_pgradient(multidet_twist):
                 np.asarray(g_p[f"mo_coeff_{tag}_im"][k]), -np.imag(d),
                 rtol=1e-7, atol=1e-9,
             )
+
+
+def test_pair_ecp_matches_complex(multidet_twist):
+    """Multi-det pair path: ECP local energy must match the complex path
+    per-walker (signed/phased ratios through testvalue_pair)."""
+    from pyqmc_tpu.observables.ecp import ECPAccumulator
+
+    sup, wf_c, wf_p = multidet_twist
+    pc, pp = wf_c.make_params(), wf_p.make_params()
+    configs = initial_guess(sup, 6, key=jax.random.PRNGKey(31))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_p = wf_p.recompute(pp, pos)
+    acc = ECPAccumulator(sup, naip=6)
+    key = jax.random.PRNGKey(32)
+    ec, ec_im = acc(wf_c, pc, st_c, pos, key, with_imag=True)
+    ep, ep_im = acc(wf_p, pp, st_p, pos, key, with_imag=True)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(ec),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ep_im), np.asarray(ec_im),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_pair_imag_channels(multidet_twist):
+    """Phase-channel parity with the complex path: Im(grad log Psi),
+    Im(lap Psi/Psi), the full complex local energy E_I, and the
+    phase-derivative pgradient tree (the inputs to the complex-parameter
+    SR gradient on the real-only backend)."""
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+
+    sup, wf_c, wf_p = multidet_twist
+    pc, pp = wf_c.make_params(), wf_p.make_params()
+    configs = initial_guess(sup, 4, key=jax.random.PRNGKey(41))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_p = wf_p.recompute(pp, pos)
+    for e in (0, 9):
+        epos = pos[:, e, :]
+        g_c, l_c = wf_c.gradient_laplacian(pc, st_c, jnp.int32(e), epos)
+        gr, gi, lr, li = wf_p.gradient_laplacian_pair(
+            pp, st_p, jnp.int32(e), epos
+        )
+        np.testing.assert_allclose(np.asarray(gi), np.imag(np.asarray(g_c)),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(li), np.imag(np.asarray(l_c)),
+                                   rtol=1e-6, atol=1e-9)
+    # full local energy, both channels
+    acc = EnergyAccumulator(sup)
+    key = jax.random.PRNGKey(42)
+    d_c = acc(wf_c, pc, st_c, pos, key=key, with_imag=True)
+    d_p = acc(wf_p, pp, st_p, pos, key=key, with_imag=True)
+    np.testing.assert_allclose(np.asarray(d_p["total"]),
+                               np.asarray(d_c["total"]), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(d_p["total_im"]),
+                               np.asarray(d_c["total_im"]),
+                               rtol=1e-6, atol=1e-9)
+    assert np.max(np.abs(np.asarray(d_c["total_im"]))) > 1e-8
+    # phase-derivative pgradient channel vs holomorphic complex derivatives
+    g_c = wf_c.pgradient(pc, pos)
+    _, g_im = wf_p.pgradient_pair(pp, pos)
+    np.testing.assert_allclose(
+        np.asarray(g_im["det_coeff"]), np.imag(np.asarray(g_c["det_coeff"])),
+        rtol=1e-7, atol=1e-10,
+    )
+    for tag, cname in (("alpha", "mo_coeff_alpha"), ("beta", "mo_coeff_beta")):
+        for k in range(len(g_c[cname])):
+            d = np.asarray(g_c[cname][k])
+            np.testing.assert_allclose(
+                np.asarray(g_im[f"mo_coeff_{tag}_re"][k]), np.imag(d),
+                rtol=1e-7, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_im[f"mo_coeff_{tag}_im"][k]), np.real(d),
+                rtol=1e-7, atol=1e-9,
+            )
+
+
+def test_pair_s2_matches_complex(multidet_twist):
+    """S^2 exchange ratios need Re(r1 r2) with complex composition — the
+    pair path must match the complex path per-walker."""
+    from pyqmc_tpu.observables.s2 import S2Accumulator
+
+    sup, wf_c, wf_p = multidet_twist
+    pc, pp = wf_c.make_params(), wf_p.make_params()
+    configs = initial_guess(sup, 4, key=jax.random.PRNGKey(61))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_p = wf_p.recompute(pp, pos)
+    acc = S2Accumulator(sup)
+    s_c = acc(wf_c, pc, st_c, pos)["S2"]
+    s_p = acc(wf_p, pp, st_p, pos)["S2"]
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_c),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_pair_kobdm_matches_complex(multidet_twist):
+    """Periodic OBDM: the real-pair path (testvalue_many_pair + eval_pair)
+    must reproduce the complex path per-walker."""
+    from pyqmc_tpu.observables.obdm import KOBDMAccumulator
+
+    sup, wf_c, wf_p = multidet_twist
+    pc, pp = wf_c.make_params(), wf_p.make_params()
+    configs = initial_guess(sup, 5, key=jax.random.PRNGKey(71))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_p = wf_p.recompute(pp, pos)
+    for spin in (0, 1):
+        acc = KOBDMAccumulator(sup, wf_c.orbitals, spin=spin)
+        key = jax.random.PRNGKey(72 + spin)
+        d_c = acc(wf_c, pc, st_c, pos, key)
+        d_p = acc(wf_p, pp, st_p, pos, key)
+        np.testing.assert_allclose(
+            np.asarray(d_p["value_re"]), np.asarray(d_c["value_re"]),
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_p["value_im"]), np.asarray(d_c["value_im"]),
+            rtol=1e-6, atol=1e-9,
+        )
+        assert np.max(np.abs(np.asarray(d_c["value_im"]))) > 1e-10
+
+
+def test_pair_ktbdm_matches_complex(multidet_twist):
+    """Periodic TBDM: real-pair composition must reproduce the complex
+    path per-walker, for same-spin and opposite-spin sectors."""
+    from pyqmc_tpu.observables.tbdm import KTBDMAccumulator
+
+    sup, wf_c, wf_p = multidet_twist
+    pc, pp = wf_c.make_params(), wf_p.make_params()
+    configs = initial_guess(sup, 3, key=jax.random.PRNGKey(81))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_p = wf_p.recompute(pp, pos)
+    for spin in ((0, 1), (0, 0)):
+        acc = KTBDMAccumulator(sup, wf_c.orbitals, spin=spin)
+        key = jax.random.PRNGKey(83)
+        d_c = acc(wf_c, pc, st_c, pos, key)
+        d_p = acc(wf_p, pp, st_p, pos, key)
+        np.testing.assert_allclose(
+            np.asarray(d_p["value_re"]), np.asarray(d_c["value_re"]),
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_p["value_im"]), np.asarray(d_c["value_im"]),
+            rtol=1e-6, atol=1e-9,
+        )
+
+
+@pytest.mark.slow
+def test_pair_orbital_optimization():
+    """SR/linemin over det_coeff + ORBITAL coefficients of a general-twist
+    multi-det wavefunction on the real-pair path: with the complex channel
+    (E_I, phase pgradient) the direction is a descent direction — the
+    energy must drop AND the parameters must actually move (regression for
+    the tau=0-every-iteration failure mode of the real-only gradient)."""
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+    from pyqmc_tpu.observables.transform import LinearTransform
+    from pyqmc_tpu.method.linemin import line_minimization
+    from pyqmc_tpu.method.vmc import vmc
+
+    cell, d = load_cell("li_cubic_ccecp")
+    sup = get_supercell(cell, 2 * np.eye(3, dtype=int))
+    kpts = np.asarray(d["kpts"]) + np.array([0.027, -0.011, 0.019])
+    blocks = [np.asarray(d["mo_coeff"][k])[:, :2] for k in range(8)]
+    orb = KPointOrbitals(cell, kpts, (blocks, blocks), realify=False)
+    ground = np.arange(0, 16, 2)
+    exc = ground.copy(); exc[0] = 1
+    expn = DeterminantExpansion(
+        np.stack([ground, exc]), np.stack([ground, exc]),
+        np.array([0, 1, 0]), np.array([0, 0, 1]),
+    )
+    wf = PairKSlater(sup, orb, expn, det_coeff=np.array([0.8, 0.4, 0.4]))
+    params = wf.make_params()
+    to_opt = {k: (k in ("det_coeff", "mo_coeff_alpha_re", "mo_coeff_alpha_im"))
+              for k in params}
+    lt = LinearTransform(params, to_opt)
+    acc = EnergyAccumulator(sup)
+    cfg = initial_guess(sup, 150, key=jax.random.PRNGKey(10))
+    _, cfg = vmc(wf, params, cfg, nblocks=3, nsteps_per_block=8, tstep=1.0,
+                 key=jax.random.PRNGKey(11))
+    x0 = np.asarray(lt.serialize(params))
+    popt, cfg, recs = line_minimization(
+        wf, params, cfg, lt, acc, key=jax.random.PRNGKey(12),
+        max_iterations=4, vmc_blocks=4, vmc_tstep=1.0,
+    )
+    x1 = np.asarray(lt.serialize(popt))
+    assert np.linalg.norm(x1 - x0) > 1e-3, "parameters never moved"
+    assert recs[-1]["energy"] < recs[0]["energy"] - 0.1
