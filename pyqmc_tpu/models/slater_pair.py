@@ -87,6 +87,15 @@ class PairKSlater:
         mod = jnp.sqrt(jnp.maximum(cpair.cabs2(dr, di), jnp.finfo(dr.dtype).tiny))
         return jnp.ones_like(mod), jnp.log(mod) + ref
 
+    def value_pair(self, params, state):
+        """(phase_re, phase_im, log|Psi|): the unit-modulus wavefunction
+        phase as a REAL pair — the pair LU tracks determinant phases, so
+        unlike the embedded tier the full phase is available (consumed by
+        SymmetryAccumulator on real-only backends)."""
+        _, _, dr, di, ref = self._expansion_weights(params, state)
+        mod = jnp.sqrt(jnp.maximum(cpair.cabs2(dr, di), jnp.finfo(dr.dtype).tiny))
+        return dr / mod, di / mod, jnp.log(mod) + ref
+
     def recompute(self, params, positions):
         ur, ui, dr_, di_ = self.orbitals.eval_pair(params, positions, 0)
         mur, mui = self._det_matrices(

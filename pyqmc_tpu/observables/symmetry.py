@@ -22,7 +22,20 @@ class SymmetryAccumulator:
         self.lattice = getattr(mol, "lattice", None)
 
     def __call__(self, wf, params, state, positions, key=None):
-        ph0, la0 = wf.value(params, state)
+        # real-backend twist wavefunctions report phase=1 from value();
+        # PairKSlater exposes the true phase as a real pair (value_pair) —
+        # required for Re[(ph/ph0) e^(la-la0)] to be meaningful
+        use_pair = getattr(wf, "ratio_is_modulus", False)
+        if use_pair and not hasattr(wf, "value_pair"):
+            raise ValueError(
+                "SymmetryAccumulator needs the wavefunction phase; this "
+                "real-backend wavefunction reports |Psi| only (use "
+                "PairKSlater or the complex path)"
+            )
+        if use_pair:
+            pr0, pi0, la0 = wf.value_pair(params, state)
+        else:
+            ph0, la0 = wf.value(params, state)
         out = {}
         o = jnp.asarray(self.origin, positions.dtype)
         for name, op in zip(self.names, self.ops):
@@ -33,8 +46,13 @@ class SymmetryAccumulator:
                 lat = jnp.asarray(self.lattice, positions.dtype)
                 newpos, _ = enforce_pbc(lat, jnp.linalg.inv(lat), newpos)
             st = wf.recompute(params, newpos)
-            ph, la = wf.value(params, st)
-            out[name] = jnp.real((ph / ph0) * jnp.exp(la - la0))
+            if use_pair:
+                pr, pi, la = wf.value_pair(params, st)
+                # Re[ph conj(ph0)] e^(la - la0), |ph| = 1
+                out[name] = (pr * pr0 + pi * pi0) * jnp.exp(la - la0)
+            else:
+                ph, la = wf.value(params, st)
+                out[name] = jnp.real((ph / ph0) * jnp.exp(la - la0))
         return out
 
     def avg(self, wf, params, state, positions, key=None):

@@ -362,3 +362,24 @@ def test_pair_orbital_optimization():
     x1 = np.asarray(lt.serialize(popt))
     assert np.linalg.norm(x1 - x0) > 1e-3, "parameters never moved"
     assert recs[-1]["energy"] < recs[0]["energy"] - 0.1
+
+
+def test_pair_symmetry_matches_complex(multidet_twist):
+    """<S Psi/Psi> needs the wavefunction PHASE; PairKSlater supplies it
+    through value_pair and must match the complex path per-walker."""
+    from pyqmc_tpu.observables.symmetry import SymmetryAccumulator
+
+    sup, wf_c, wf_p = multidet_twist
+    pc, pp = wf_c.make_params(), wf_p.make_params()
+    configs = initial_guess(sup, 4, key=jax.random.PRNGKey(91))
+    pos = configs.positions
+    st_c = wf_c.recompute(pc, pos)
+    st_p = wf_p.recompute(pp, pos)
+    ops = [-np.eye(3), np.array([[0, -1.0, 0], [1.0, 0, 0], [0, 0, 1.0]])]
+    acc = SymmetryAccumulator(sup, ops, names=["inv", "c4z"])
+    d_c = acc(wf_c, pc, st_c, pos)
+    d_p = acc(wf_p, pp, st_p, pos)
+    for name in ("inv", "c4z"):
+        np.testing.assert_allclose(np.asarray(d_p[name]),
+                                   np.asarray(d_c[name]),
+                                   rtol=1e-6, atol=1e-9)
