@@ -235,11 +235,22 @@ class ECPAccumulator:
         ccECP H2O bench, TPU v5e). Bounds the aux-point buffer to
         echunk/nelec of the all-at-once footprint; None = all electrons."""
         self.atoms = _parse_ecp(mol)
+        # Quadrature only on atoms that HAVE nonlocal channels (T is
+        # identically zero elsewhere — ccECP H carries a local part only,
+        # so H2O needs 6 aux points per electron, not 3*6), with a
+        # per-ATOM grid size (reference default, eval_ecp.py:239-240:
+        # 12 for a multi-channel ECP, 6 for a single channel). The ECP
+        # sweep is ~half the VMC block on TPU, and its cost is linear in
+        # the aux-point count. Shapes stay static: per-atom grids are
+        # concatenated.
+        self.nl_atoms = [a for a in self.atoms if a.nonlocal_channels]
         if naip is None:
-            max_nl = max(
-                (len(a.nonlocal_channels) for a in self.atoms), default=0
-            )
-            naip = 12 if max_nl > 1 else 6
+            atom_naip = [
+                12 if len(a.nonlocal_channels) > 1 else 6
+                for a in self.nl_atoms
+            ]
+        else:
+            atom_naip = [naip] * len(self.nl_atoms)
         self.atom_coords = np.asarray(mol.atom_coords)
         # periodic cells: electron-core distances use the minimal image so
         # an electron near a cell face feels the ECP of the atom's nearest
@@ -256,10 +267,11 @@ class ECPAccumulator:
             if self._mic_mode == _dist.MODE_GENERAL
             else None
         )
-        self.naip = naip
-        pts, w = ecp_quadrature_grid(naip)
-        self.quad_pts = pts
-        self.quad_w = w
+        self.atom_naip = atom_naip
+        self.naip = max(atom_naip, default=0)
+        grids = {n: ecp_quadrature_grid(n) for n in set(atom_naip)}
+        self.atom_quad = [grids[n] for n in atom_naip]
+        self.nq_total = sum(atom_naip)
         self.nelec = sum(mol.nelec)
         self.rmax = rmax  # beyond this the nonlocal projection is negligible
         self.nselect = nselect
@@ -267,7 +279,9 @@ class ECPAccumulator:
 
     @property
     def active(self):
-        return len(self.atoms) > 0
+        """True when nonlocal channels exist — the sole consumer is the
+        DMC T-move gate (purely local ECPs have no offdiagonal moves)."""
+        return len(self.nl_atoms) > 0
 
     def _mic(self, d):
         """Minimal-image displacement (identity for open boundaries)."""
@@ -295,31 +309,31 @@ class ECPAccumulator:
         dtype = positions.dtype
         epos = positions[:, e, :]
         auxs, Ts = [], []
-        w = jnp.asarray(self.quad_w, dtype)
         # one per-walker rotation shared by all ECP atoms of this electron:
         # each atom's integral is separately rotation-invariant in
         # expectation, so sharing stays unbiased (the reference shares a
         # single rotation across ALL walkers, eval_ecp.py:263-272; this is
         # strictly lower-variance and 1/natoms the RNG work)
         rot = random_rotations(key, (nconf,))  # (c, 3, 3)
-        pts = jnp.asarray(self.quad_pts, dtype)  # (naip, 3)
-        dirs = jnp.einsum("cxy,qy->cqx", rot, pts)  # (c, naip, 3)
-        for k, aecp in enumerate(self.atoms):
+        for aecp, (pts_a, w_a) in zip(self.nl_atoms, self.atom_quad):
+            w = jnp.asarray(w_a, dtype)  # (naip_a,)
+            pts = jnp.asarray(pts_a, dtype)  # (naip_a, 3)
+            dirs = jnp.einsum("cxy,qy->cqx", rot, pts)  # (c, naip_a, 3)
             R = jnp.asarray(self.atom_coords[aecp.atom], dtype)
             d = self._mic(epos - R)  # atom(-image) -> electron (nconf, 3)
             r = jnp.linalg.norm(d, axis=-1)
             # sphere centred on the nearest image of the atom: epos - d
-            aux = (epos - d)[:, None, :] + r[:, None, None] * dirs  # (c, naip, 3)
+            aux = (epos - d)[:, None, :] + r[:, None, None] * dirs  # (c, naip_a, 3)
             costh = jnp.einsum("cqx,cx->cq", dirs, d / jnp.maximum(r, 1e-12)[:, None])
             inside = (r < self.rmax).astype(dtype)
-            T = jnp.zeros((nconf, self.naip), dtype)
+            T = jnp.zeros((nconf, pts.shape[0]), dtype)
             for ch in aecp.nonlocal_channels:
                 T = T + (
                     (2 * ch.l + 1) * ch.evaluate(r) * inside
                 )[:, None] * legendre(ch.l, costh) * w[None, :]
             auxs.append(aux)
             Ts.append(T)
-        aux_all = jnp.concatenate(auxs, axis=1)  # (c, A*naip, 3)
+        aux_all = jnp.concatenate(auxs, axis=1)  # (c, sum naip_a, 3)
         T_all = jnp.concatenate(Ts, axis=1)
         return aux_all, T_all, None
 
@@ -353,8 +367,7 @@ class ECPAccumulator:
         Returns (re, im) real arrays (nconf,): the complex localized-ECP
         local energy split into real parts (im is zeros for real
         wavefunctions — the common TPU path)."""
-        nq_total = len(self.atoms) * self.naip
-        if self.nselect is None or self.nselect >= nq_total:
+        if self.nselect is None or self.nselect >= self.nq_total:
             _, T, (rr, ri) = self._electron_quadrature(
                 wf, params, state, positions, e, key
             )
@@ -435,6 +448,11 @@ class ECPAccumulator:
             d = self._mic(positions - R[None, None, :])
             r = jnp.linalg.norm(d, axis=-1)  # (c, ne)
             local = local + jnp.sum(aecp.local.evaluate(r), axis=1)
+
+        if not self.nl_atoms:
+            # purely local pseudopotentials (e.g. ccECP H): no quadrature
+            z = jnp.zeros(nconf, dtype)
+            return (local, z) if with_imag else local
 
         # nonlocal sweep, vmapped over electrons: ONE fused orbital
         # evaluation over nconf * echunk * nq aux points per chunk instead

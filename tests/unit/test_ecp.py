@@ -196,3 +196,41 @@ def test_downselection_unbiased():
     sem = sd.std(axis=0) / np.sqrt(len(keys))
     z = np.abs(sd.mean(axis=0) - dd.mean(axis=0)) / np.maximum(sem, 1e-12)
     assert z.max() < 4.5, z.max()
+
+
+def test_per_atom_naip():
+    """The quadrature covers only atoms WITH nonlocal channels (ccECP H is
+    purely local; ccECP O has one l=0 projector), sized per atom
+    (reference default, eval_ecp.py:239-240: 12 multi-channel / 6 single):
+    H2O needs 6 aux points per electron, not 3 x naip, and the energies
+    agree with a uniform 12-point grid to quadrature accuracy."""
+    import jax
+    from pyqmc_tpu.system.mole import Molecule
+    from pyqmc_tpu.system.scf import run_scf
+    from pyqmc_tpu.models.slater import Slater, DeterminantExpansion
+    from pyqmc_tpu.configs import initial_guess
+
+    mol = Molecule(
+        "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+        basis="ccecp-ccpvdz", ecp="ccecp",
+    )
+    acc_auto = ECPAccumulator(mol)
+    assert [len(a.nonlocal_channels) for a in acc_auto.atoms] == [1, 0, 0]
+    assert acc_auto.atom_naip == [6]
+    assert acc_auto.nq_total == 6
+    acc_12 = ECPAccumulator(mol, naip=12)
+    assert acc_12.nq_total == 12
+
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    params = wf.make_params()
+    configs = initial_guess(mol, 32, key=jax.random.PRNGKey(0))
+    pos = configs.positions
+    state = wf.recompute(params, pos)
+    key = jax.random.PRNGKey(1)
+    e_auto = np.asarray(acc_auto(wf, params, state, pos, key))
+    e_12 = np.asarray(acc_12(wf, params, state, pos, key))
+    # same local part; the O l=0 projector differs only by angular
+    # quadrature error between the 6- and 12-point grids
+    np.testing.assert_allclose(e_auto, e_12, atol=2e-2)
+    assert np.max(np.abs(e_auto)) > 1e-3
