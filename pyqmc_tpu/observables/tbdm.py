@@ -21,12 +21,17 @@ import numpy as np
 
 
 class TBDMAccumulator:
-    def __init__(self, mol, orb_coeff, spin=(0, 1), aux_sigma=1.5):
+    def __init__(self, mol, orb_coeff, spin=(0, 1), aux_sigma=1.5,
+                 ijkl=None):
+        """ijkl: optional (nsel, 4) integer array selecting which matrix
+        elements to accumulate (reference tbdm.py:112-121) — bounds the
+        otherwise norb^4 output; None keeps the full tensor."""
         self.spec = GTOSpec.from_molecule(mol)
         self.orb_coeff = np.asarray(orb_coeff)
         self.nup, self.ndn = mol.nelec
         self.spin = spin
         self.mixture = GaussianMixture(mol.atom_coords, aux_sigma)
+        self.ijkl = None if ijkl is None else np.asarray(ijkl, dtype=np.int32)
 
     def _orbs(self, X):
         return eval_gto(self.spec, X, 0) @ jnp.asarray(self.orb_coeff, X.dtype)
@@ -50,6 +55,8 @@ class TBDMAccumulator:
         norb = self.orb_coeff.shape[1]
         ones = jnp.ones(nconf, dtype=bool)
 
+        sel_ijkl = self.ijkl
+
         def body_e1(e1i, acc):
             e1 = lo1 + e1i
             ratio1, saved1 = wf.testvalue(params, state, e1, r1)
@@ -59,14 +66,26 @@ class TBDMAccumulator:
             notself = (jnp.arange(lo2, hi2) != e1).astype(dtype)
             # pair weight for each e2: ratio1 * ratio2(e2)
             w = ratio1[:, None] * sel * notself[None, :]
-            contrib = jnp.einsum(
-                "ce,ci,cj,ck,cel->cijkl",
-                w, jnp.conj(phi1), jnp.conj(phi2),
-                phie[:, e1, :],
-                phie[:, lo2:hi2, :],
-            )
+            if sel_ijkl is not None:
+                ii, jj, kk, ll = (jnp.asarray(sel_ijkl[:, c]) for c in range(4))
+                contrib = jnp.einsum(
+                    "cs,cs,cs,ces,ce->cs",
+                    jnp.conj(phi1[:, ii]), jnp.conj(phi2[:, jj]),
+                    phie[:, e1, :][:, kk], phie[:, lo2:hi2, :][:, :, ll], w,
+                )
+            else:
+                contrib = jnp.einsum(
+                    "ce,ci,cj,ck,cel->cijkl",
+                    w, jnp.conj(phi1), jnp.conj(phi2),
+                    phie[:, e1, :],
+                    phie[:, lo2:hi2, :],
+                )
             return acc + contrib
 
+        if sel_ijkl is not None:
+            acc0 = jnp.zeros((nconf, len(sel_ijkl)), dtype=phie.dtype)
+            out = jax.lax.fori_loop(0, hi1 - lo1, body_e1, acc0)
+            return {"value": out / (q1 * q2)[:, None]}
         acc0 = jnp.zeros((nconf, norb, norb, norb, norb),
                          dtype=phie.dtype)
         out = jax.lax.fori_loop(0, hi1 - lo1, body_e1, acc0)
@@ -80,6 +99,8 @@ class TBDMAccumulator:
         return {"value"}
 
     def shapes(self):
+        if self.ijkl is not None:
+            return {"value": (len(self.ijkl),)}
         n = self.orb_coeff.shape[1]
         return {"value": (n, n, n, n)}
 

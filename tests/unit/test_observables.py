@@ -122,3 +122,23 @@ def test_reblock_correlated():
     mean, se, lvl = rb.opt_block(x)
     assert naive < 0.5 * true_se
     assert 0.5 * true_se < se < 1.6 * true_se, (se, true_se)
+
+
+def test_tbdm_ijkl_subset(he_setup):
+    """The ijkl-selected TBDM entries equal the corresponding entries of
+    the full tensor (same RNG key -> same aux points)."""
+    mol, mf, wf = he_setup
+    coeff = mf.mo_coeff[0][:, :2]
+    params = wf.make_params()
+    configs = initial_guess(mol, 50, key=jax.random.PRNGKey(16))
+    pos = configs.positions
+    state = wf.recompute(params, pos)
+    key = jax.random.PRNGKey(17)
+    full = TBDMAccumulator(mol, coeff, spin=(0, 1))
+    ijkl = np.array([[0, 0, 0, 0], [0, 1, 0, 1], [1, 0, 1, 0], [1, 1, 0, 0]])
+    sub = TBDMAccumulator(mol, coeff, spin=(0, 1), ijkl=ijkl)
+    vf = np.asarray(full(wf, params, state, pos, key)["value"])
+    vs = np.asarray(sub(wf, params, state, pos, key)["value"])
+    for s, (i, j, k, l) in enumerate(ijkl):
+        np.testing.assert_allclose(vs[:, s], vf[:, i, j, k, l],
+                                   rtol=1e-6, atol=1e-10)
