@@ -31,7 +31,14 @@ def _amplitudes(wfs, params_list, states):
     return a, rho
 
 
-def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None):
+def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
+                       accumulators=None):
+    """accumulators: optional {name: single-wf accumulator} evaluated for
+    EVERY state under the mixed distribution rho = sum_i |psi_i|^2 with
+    importance weights w_i = |psi_i|^2/rho (the reference's
+    AdaptSingleAccumulator, accumulators_multiwf.py:57-92): block keys
+    "{name}{i}_{key}_num" and "state{i}_den" give the per-state estimate
+    <O>_i = num/den."""
     nwf = len(wfs)
     nelec = wfs[0].nelec
 
@@ -108,6 +115,15 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None):
                     w = jnp.abs(a[i]) ** 2 / rho
                     out[f"energy{i}_num"] = jnp.mean(w * el)
                     out[f"energy{i}_den"] = jnp.mean(w)
+            for name, acc_fn in (accumulators or {}).items():
+                for i, (wf, p, s) in enumerate(zip(wfs, params_list, states)):
+                    d = acc_fn(wf, p, s, positions,
+                               key=jax.random.fold_in(stepkey, 9500 + i))
+                    w = jnp.abs(a[i]) ** 2 / rho
+                    for kname, v in d.items():
+                        wb = w.reshape(w.shape + (1,) * (v.ndim - 1))
+                        out[f"{name}{i}_{kname}_num"] = jnp.mean(wb * v, axis=0)
+                    out[f"state{i}_den"] = jnp.mean(w)
             return (positions, states), out
 
         keys = jax.random.split(key, nsteps)
@@ -119,10 +135,11 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None):
 
 
 def sample_overlap(wfs, params_list, configs, key, nblocks=10, nsteps=10,
-                   tstep=0.5, energy_acc=None):
+                   tstep=0.5, energy_acc=None, accumulators=None):
     """Returns (list of block dicts, final configs)."""
     block = make_overlap_block(
-        wfs, configs.geometry, tstep=tstep, nsteps=nsteps, energy_acc=energy_acc
+        wfs, configs.geometry, tstep=tstep, nsteps=nsteps,
+        energy_acc=energy_acc, accumulators=accumulators,
     )
     positions = configs.positions
     data = []

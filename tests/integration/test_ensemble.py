@@ -85,3 +85,26 @@ def test_optimize_ensemble_runs(h2_states):
     frac0 = abs(c[0]) / np.linalg.norm(c)
     assert frac0 < 0.5 / np.linalg.norm([0.5, 0.8]) + 0.05, c
     assert np.isfinite(records[-1]["energy1"])
+
+
+def test_sample_overlap_adapted_accumulator(h2_states):
+    """Arbitrary single-wf accumulators evaluated under the mixed
+    distribution with per-state importance weights (the reference's
+    AdaptSingleAccumulator, accumulators_multiwf.py:57-92): <S^2> of each
+    H2 state from the overlap sample matches its exact value."""
+    from pyqmc_tpu.observables.s2 import S2Accumulator
+
+    mf, gs, ex = h2_states
+    mol = mf.mol
+    configs = initial_guess(mol, 600, key=jax.random.PRNGKey(20))
+    data, _ = sample_overlap(
+        (gs, ex), (gs.make_params(), ex.make_params()), configs,
+        jax.random.PRNGKey(21), nblocks=10, nsteps=10,
+        accumulators={"s2": S2Accumulator(mol)},
+    )
+    # RHF singlet: <S^2> = 0; the sigma->sigma* open-shell determinant is
+    # an equal singlet/triplet mix: <S^2> = 1
+    s0 = np.mean([d["s20_S2_num"] / d["state0_den"] for d in data[3:]])
+    s1 = np.mean([d["s21_S2_num"] / d["state1_den"] for d in data[3:]])
+    assert abs(s0 - 0.0) < 0.1, s0
+    assert abs(s1 - 1.0) < 0.15, s1
