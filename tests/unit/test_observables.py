@@ -142,3 +142,27 @@ def test_tbdm_ijkl_subset(he_setup):
     for s, (i, j, k, l) in enumerate(ijkl):
         np.testing.assert_allclose(vs[:, s], vf[:, i, j, k, l],
                                    rtol=1e-6, atol=1e-10)
+
+
+def test_spin_sq_limits():
+    """Uncorrelated positions: both S(q) and S_spin(q) -> 1 at large q;
+    at q -> 0, S(q) -> N (coherent) while S_spin(q) -> 0 for equal spin
+    populations."""
+    from pyqmc_tpu.observables.sq import SqAccumulator
+
+    class _FakeCell:
+        nelec = (3, 3)
+
+    qs = np.array([[20.0, 0, 0], [1e-8, 0, 0]])
+    acc = SqAccumulator.__new__(SqAccumulator)
+    acc.qlist = qs
+    acc.nup = 3
+    rng = np.random.default_rng(9)
+    pos = jnp.asarray(rng.uniform(0, 10, size=(4000, 6, 3)))
+    out = acc(None, None, None, pos)
+    sq = np.mean(np.asarray(out["Sq"]), axis=0)
+    ssq = np.mean(np.asarray(out["spinSq"]), axis=0)
+    np.testing.assert_allclose(sq[0], 1.0, atol=0.1)
+    np.testing.assert_allclose(ssq[0], 1.0, atol=0.1)
+    np.testing.assert_allclose(sq[1], 6.0, atol=1e-6)   # N at q=0
+    np.testing.assert_allclose(ssq[1], 0.0, atol=1e-6)  # spin-balanced
