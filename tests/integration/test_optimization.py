@@ -74,3 +74,37 @@ def test_optimize_he_jastrow():
     assert e_end > -2.9037 - 5 * sem - 0.01, (e_end, sem)
     # parameters actually moved
     assert float(jnp.sum(jnp.abs(lt.serialize(params_opt)))) > 1e-3
+
+
+def test_optimize_sharded_mesh():
+    """Line minimization with walker sharding over an 8-device mesh: the
+    SR accumulators (dp, dpH, dpidpj) are psum-reduced over the mesh axis
+    inside the jitted block (SURVEY section 2.8 TPU-equivalents), so the
+    meshed optimization must lower the energy like the single-device one."""
+    from pyqmc_tpu.parallel.mesh import walker_mesh
+
+    mol = Molecule("He 0 0 0", basis="sto-3g")
+    mf = run_scf(mol)
+    wf = MultiplyWF(Slater.from_mean_field(mf), JastrowSpin(mol))
+    params = wf.make_params()
+    to_opt = {
+        "wf0": {"det_coeff": False, "mo_coeff_alpha": False,
+                "mo_coeff_beta": False},
+        "wf1": {"acoeff": True, "bcoeff": True},
+    }
+    lt = LinearTransform(params, to_opt)
+    acc = EnergyAccumulator(mol)
+    mesh = walker_mesh(8)
+    configs = initial_guess(mol, 512, key=jax.random.PRNGKey(10))
+    _, configs = vmc(
+        wf, params, configs, nblocks=3, nsteps_per_block=10,
+        key=jax.random.PRNGKey(11), mesh=mesh,
+    )
+    x0 = np.asarray(lt.serialize(params))
+    popt, configs, recs = line_minimization(
+        wf, params, configs, lt, acc, key=jax.random.PRNGKey(12),
+        max_iterations=6, vmc_blocks=4, vmc_steps_per_block=10, mesh=mesh,
+    )
+    x1 = np.asarray(lt.serialize(popt))
+    assert np.linalg.norm(x1 - x0) > 1e-4
+    assert recs[-1]["energy"] < mf.e_tot - 0.01, (recs[-1]["energy"], mf.e_tot)
