@@ -114,7 +114,10 @@ def read_mc_output(filename, warmup=5, reblocks=16):
             if k in ("configs", "wf", "weights"):
                 continue
             data = np.asarray(f[k])[warmup:]
-            if data.ndim == 1 and np.issubdtype(data.dtype, np.number):
+            if np.issubdtype(data.dtype, np.number) and len(data) >= 2:
+                # scalars AND array-valued observables (S(q), density
+                # matrices): reblock_summary reduces along the block axis
+                # elementwise
                 s = rb.reblock_summary(data, min(reblocks, max(2, len(data) // 2)))
                 out[k] = s["mean"]
                 out[k + "_err"] = s["standard error"]

@@ -166,3 +166,24 @@ def test_spin_sq_limits():
     np.testing.assert_allclose(ssq[0], 1.0, atol=0.1)
     np.testing.assert_allclose(sq[1], 6.0, atol=1e-6)   # N at q=0
     np.testing.assert_allclose(ssq[1], 0.0, atol=1e-6)  # spin-balanced
+
+
+def test_read_mc_output_array_observables(tmp_path, he_setup):
+    """read_mc_output summarizes ARRAY-valued block series (S(q), density
+    matrices) elementwise, not only scalars."""
+    from pyqmc_tpu.observables.sq import SqAccumulator
+    from pyqmc_tpu.recipes import read_mc_output
+
+    mol, mf, wf = he_setup
+    qs = np.array([[1.0, 0, 0], [0, 2.0, 0], [0, 0, 3.0]])
+    acc = SqAccumulator(qlist=qs)
+    acc.nup = 1
+    configs = initial_guess(mol, 100, key=jax.random.PRNGKey(30))
+    fn = str(tmp_path / "sq.hdf5")
+    vmc(wf, wf.make_params(), configs, nblocks=8, nsteps_per_block=4,
+        accumulators={"sq": acc}, key=jax.random.PRNGKey(31), hdf_file=fn)
+    out = read_mc_output(fn, warmup=2, reblocks=3)
+    assert out["sqSq"].shape == (3,)
+    assert out["sqSq_err"].shape == (3,)
+    assert np.all(np.isfinite(out["sqSq"]))
+    assert "energytotal" not in out or np.isfinite(out.get("energytotal", 0.0))
