@@ -50,9 +50,13 @@ configs = initial_guess(sup, 200, key=jax.random.PRNGKey(2))
 data, _ = vmc(wf, wf.make_params(), configs, nblocks=8, nsteps_per_block=5,
               tstep=1.0, accumulators={"obdm": kobdm, "tbdm": ktbdm},
               key=jax.random.PRNGKey(3))
+from pyqmc_tpu.observables.obdm import normalize_obdm
+
 rho_re = np.mean([d["obdmvalue_re"] for d in data[3:]], axis=0)
 rho2_re = np.mean([d["tbdmvalue_re"] for d in data[3:]], axis=0)
-# the fixture's k-MOs are normalized per PRIMITIVE cell, so occupancies
-# come out scaled by N_cells = 8 (divide by <phi_i|phi_i> to normalize)
-print("periodic OBDM diag (Re):", np.round(np.diag(rho_re), 3))
-print("periodic TBDM_0000 (Re):", round(float(rho2_re[0, 0, 0, 0]), 4))
+norm = np.mean([d["obdmnorm"] for d in data[3:]], axis=0)
+# the fixture's k-MOs are normalized per PRIMITIVE cell; dividing by the
+# sampled orbital norms recovers per-orbital occupancies ~1
+rho_n = normalize_obdm(rho_re, norm)
+print("periodic OBDM diag (normalized):", np.round(np.diag(rho_n), 3))
+print("periodic TBDM_0000 (raw Re):", round(float(rho2_re[0, 0, 0, 0]), 4))

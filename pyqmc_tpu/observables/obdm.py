@@ -117,18 +117,22 @@ class OBDMAccumulator:
             jnp.conj(phi_aux),
             phi_e[:, lo:hi, :],
         )
-        return {"value": contrib / q[:, None, None]}
+        # orbital norms <|phi_i|^2> estimated from the same aux sample
+        # (reference obdm.py:166-191 "norm"; normalize_obdm divides by
+        # sqrt(n_i n_j) to correct non-orthonormal orbital conventions)
+        norm = (jnp.abs(phi_aux) ** 2) / q[:, None]
+        return {"value": contrib / q[:, None, None], "norm": norm}
 
     def avg(self, wf, params, state, positions, key=None):
         dat = self(wf, params, state, positions, key)
         return {k: jnp.mean(v, axis=0) for k, v in dat.items()}
 
     def keys(self):
-        return {"value"}
+        return {"value", "norm"}
 
     def shapes(self):
         n = self.orb_coeff.shape[1]
-        return {"value": (n, n)}
+        return {"value": (n, n), "norm": (n,)}
 
 
 class KOBDMAccumulator:
@@ -196,6 +200,7 @@ class KOBDMAccumulator:
             return {
                 "value_re": v_re * qinv[:, None, None],
                 "value_im": v_im * qinv[:, None, None],
+                "norm": (ar * ar + ai * ai) * qinv[:, None],
             }
         ratios = wf.testvalue_many(params, state, raux)[:, lo:hi]
         phi_aux = self.orbitals.eval(params, raux, 0)[self.spin]
@@ -203,19 +208,32 @@ class KOBDMAccumulator:
         contrib = jnp.einsum(
             "ce,ci,cej->cij", ratios, jnp.conj(phi_aux), phi_e
         ) * qinv[:, None, None]
-        return {"value_re": jnp.real(contrib), "value_im": jnp.imag(contrib)}
+        return {
+            "value_re": jnp.real(contrib),
+            "value_im": jnp.imag(contrib),
+            "norm": (jnp.abs(phi_aux) ** 2) * qinv[:, None],
+        }
 
     def avg(self, wf, params, state, positions, key=None):
         dat = self(wf, params, state, positions, key)
         return {k: jnp.mean(v, axis=0) for k, v in dat.items()}
 
     def keys(self):
-        return {"value_re", "value_im"}
+        return {"value_re", "value_im", "norm"}
 
     def shapes(self):
         return {"value_re": (self.norb, self.norb),
-                "value_im": (self.norb, self.norb)}
+                "value_im": (self.norb, self.norb),
+                "norm": (self.norb,)}
 
 
 def normalize_obdm(rho, norm=None):
-    return np.asarray(rho)
+    """Divide rho_ij by sqrt(<|phi_i|^2> <|phi_j|^2>) (reference
+    obdm.py:246-247): corrects orbital-normalization conventions (e.g.
+    per-primitive-cell k-MOs measured over a supercell). norm: the
+    averaged "norm" key from the accumulator; None = identity."""
+    rho = np.asarray(rho)
+    if norm is None:
+        return rho
+    n = np.sqrt(np.asarray(norm))
+    return rho / np.outer(n, n)
