@@ -333,6 +333,34 @@ def rundmc(
                         "esigma": float(f.attrs.get("esigma", 1.0)),
                         "block0": int(np.asarray(f["block"])[-1]) + 1,
                     }
+            # a silently-mismatched checkpoint would shape-error deep inside
+            # h5py or, worse, resample wrong — validate up front
+            saved = restart["configs"]
+            if saved.positions.shape != configs.positions.shape:
+                raise ValueError(
+                    f"DMC restart from {hdf_file}: checkpoint walker shape "
+                    f"{saved.positions.shape} does not match requested "
+                    f"{configs.positions.shape}; rerun with matching nconfig "
+                    "or delete the file"
+                )
+            if restart["weights"].shape[0] != configs.positions.shape[0]:
+                raise ValueError(
+                    f"DMC restart from {hdf_file}: {restart['weights'].shape[0]} "
+                    f"saved weights vs {configs.positions.shape[0]} walkers"
+                )
+            if saved.geometry != configs.geometry:
+                raise ValueError(
+                    f"DMC restart from {hdf_file}: checkpoint lattice does "
+                    "not match the requested geometry"
+                )
+            if mesh is not None and (
+                configs.positions.shape[0] % mesh.devices.size != 0
+            ):
+                raise ValueError(
+                    f"DMC restart from {hdf_file}: walker count "
+                    f"{configs.positions.shape[0]} does not divide over "
+                    f"{mesh.devices.size} devices"
+                )
 
     if restart is None:
         # VMC warmup + e_trial estimation (dmc.py:500-517)

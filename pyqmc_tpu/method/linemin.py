@@ -18,16 +18,38 @@ from .vmc import vmc, make_vmc_block
 from ..observables.sr import StochasticReconfiguration
 
 
-def make_correlated_sampler(wf, energy_acc, geometry):
-    """Returns jitted f(params, positions, key) -> (logabs, eloc)."""
+def make_correlated_sampler(wf, energy_acc, geometry, mesh=None):
+    """Returns jitted f(params, positions, key) -> (logabs, eloc).
+
+    With `mesh`, the evaluation is shard_map'd over the walker axis — each
+    shard recomputes its local walkers under the candidate parameters (the
+    SPMD replacement for the reference's scattered correlated_compute,
+    linemin.py:339-375); outputs stay sharded and the host-side weighted
+    means in correlated_energies operate on the global arrays."""
+    axis = mesh.axis_names[0] if mesh is not None else None
 
     def f(params, positions, key):
+        if axis is not None:
+            # deterministic per shard AND identical across candidate calls,
+            # so the ECP quadrature rotations stay correlated
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         state = wf.recompute(params, positions)
         _, logabs = wf.value(params, state)
         eloc = energy_acc(wf, params, state, positions, key=key)["total"]
         return logabs, eloc
 
-    return jax.jit(f)
+    if mesh is None:
+        return jax.jit(f)
+
+    from jax.sharding import PartitionSpec as P
+
+    pw = P(axis)
+    return jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(P(), pw, P()), out_specs=(pw, pw),
+            check_vma=False,
+        )
+    )
 
 
 def correlated_energies(sampler, params0, candidates, positions, key):
@@ -50,6 +72,32 @@ def correlated_energies(sampler, params0, candidates, positions, key):
         out.append(float(e))
         esses.append(ess)
     return np.asarray(out), np.asarray(esses)
+
+
+def select_candidate(energies, ess, taus, ess_threshold=0.3, iteration=None):
+    """Pick the lowest-energy candidate whose correlated estimate is
+    trustworthy (effective sample size above `ess_threshold`).
+
+    Returns (best_index, taus). When EVERY candidate fails the ESS guard the
+    line search has stalled: the proposed steps move too far from |psi_0|^2
+    to be evaluated by reweighting. Instead of silently stepping by tau=0
+    (the reference would, linemin.py fallback), return best_index=None, emit
+    a warning, and halve the tau grid so the next iteration proposes shorter
+    steps."""
+    import logging
+
+    masked = np.where(np.asarray(ess) > ess_threshold, energies, np.inf)
+    if np.any(np.isfinite(masked)):
+        return int(np.argmin(masked)), taus
+    halved = [t / 2.0 for t in taus]
+    logging.warning(
+        "linemin%s: all %d correlated-sampling candidates rejected "
+        "(ESS <= %.2f, max ESS %.3f); keeping parameters and halving the "
+        "tau grid to %s",
+        f" iteration {iteration}" if iteration is not None else "",
+        len(energies), ess_threshold, float(np.max(ess)), halved,
+    )
+    return None, halved
 
 
 def line_minimization(
@@ -81,7 +129,8 @@ def line_minimization(
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
     sr = StochasticReconfiguration(energy_acc, transform, eps=sr_eps)
-    sampler = make_correlated_sampler(wf, energy_acc, configs.geometry)
+    sampler = make_correlated_sampler(wf, energy_acc, configs.geometry,
+                                      mesh=mesh)
     block_fn = make_vmc_block(
         wf, {"pgrad": sr}, configs.geometry, tstep=vmc_tstep,
         nsteps=vmc_steps_per_block, mesh=mesh,
@@ -98,11 +147,27 @@ def line_minimization(
             with h5py.File(hdf_file, "r") as f:
                 if "x" in f and len(f["x"]) > 0:
                     start_it = len(f["x"])
-                    params = transform.deserialize(
-                        params, jnp.asarray(np.asarray(f["x"])[-1])
-                    )
+                    x_saved = np.asarray(f["x"])[-1]
+                    nparam = int(transform.serialize(params).shape[0])
+                    if x_saved.shape[0] != nparam:
+                        raise ValueError(
+                            f"linemin restart from {hdf_file}: checkpoint "
+                            f"holds {x_saved.shape[0]} parameters but the "
+                            f"wavefunction/transform expects {nparam}; the "
+                            "file belongs to a different wavefunction"
+                        )
+                    params = transform.deserialize(params, jnp.asarray(x_saved))
                     if "configs" in f:
-                        configs = Configs.from_hdf(f["configs"])
+                        saved = Configs.from_hdf(f["configs"])
+                        if saved.positions.shape != configs.positions.shape:
+                            raise ValueError(
+                                f"linemin restart from {hdf_file}: checkpoint "
+                                f"walker shape {saved.positions.shape} does "
+                                f"not match requested "
+                                f"{configs.positions.shape}; rerun with "
+                                "matching nconfig or delete the file"
+                            )
+                        configs = saved
                     if verbose:
                         print(
                             f"linemin: resuming at iteration {start_it} "
@@ -134,10 +199,13 @@ def line_minimization(
         if correlated_nconf is not None:
             pos = pos[:correlated_nconf]
         energies, ess = correlated_energies(sampler, params, candidates, pos, ckey)
-        # discard candidates whose correlated estimate is untrustworthy
-        masked = np.where(ess > 0.3, energies, np.inf)
-        best = int(np.argmin(masked)) if np.any(np.isfinite(masked)) else 0
-        params = candidates[best]
+        best, taus = select_candidate(energies, ess, taus, iteration=it)
+        stalled = best is None
+        if stalled:
+            chosen_tau = 0.0
+        else:
+            params = candidates[best]
+            chosen_tau = taus[best]
         rec = {
             "iteration": it,
             "energy": float(np.mean(block_avg["total"])),
@@ -145,14 +213,15 @@ def line_minimization(
                 np.std(block_avg["total"], ddof=1) / np.sqrt(len(data))
             ),
             "gnorm": gnorm,
-            "tau": taus[best],
+            "tau": chosen_tau,
+            "stalled": stalled,
             "line_energies": energies,
         }
         records.append(rec)
         if verbose:
             print(
                 f"linemin iter {it}: E={rec['energy']:.6f}({rec['energy_err']:.6f}) "
-                f"|g|={gnorm:.4f} tau={taus[best]}", flush=True,
+                f"|g|={gnorm:.4f} tau={chosen_tau}", flush=True,
             )
         if hdf_file is not None:
             import h5py
@@ -165,7 +234,7 @@ def line_minimization(
                         "energy": rec["energy"],
                         "energy_err": rec["energy_err"],
                         "gnorm": gnorm,
-                        "tau": taus[best],
+                        "tau": chosen_tau,
                         "x": np.asarray(transform.serialize(params)),
                     },
                 )

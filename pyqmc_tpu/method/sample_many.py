@@ -5,6 +5,12 @@ One jitted block advances all wavefunctions' states through a shared
 Metropolis chain on rho and accumulates the normalized overlap matrix
 N_ij = <conj(a_i) a_j / rho> and per-state weighted energies; amplitudes are
 kept max-shifted for stability (compute_weights, sample_many.py:42-55).
+
+With a `mesh`, the block kernel is shard_map'd over the mesh's first axis —
+walker arrays sharded, block averages pmean-reduced over ICI, RNG keys folded
+with the shard index — replacing the reference's futures scatter/gather
+(sample_overlap_client, sample_many.py:94-126) with single-controller SPMD,
+exactly as method/vmc.make_vmc_block does for single-state VMC.
 """
 
 from __future__ import annotations
@@ -32,22 +38,27 @@ def _amplitudes(wfs, params_list, states):
 
 
 def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
-                       accumulators=None):
+                       accumulators=None, mesh=None):
     """accumulators: optional {name: single-wf accumulator} evaluated for
     EVERY state under the mixed distribution rho = sum_i |psi_i|^2 with
     importance weights w_i = |psi_i|^2/rho (the reference's
     AdaptSingleAccumulator, accumulators_multiwf.py:57-92): block keys
     "{name}{i}_{key}_num" and "state{i}_den" give the per-state estimate
-    <O>_i = num/den."""
+    <O>_i = num/den.
+
+    Returns block(params_list, positions, wrap, key) ->
+    (positions, wrap, averages dict). With `mesh`, the kernel is shard_map'd
+    over the mesh's first axis (walker data parallelism; averages pmean'd)."""
     nwf = len(wfs)
     nelec = wfs[0].nelec
+    axis = mesh.axis_names[0] if mesh is not None else None
 
-    def sweep(params_list, positions, states, stepkey):
+    def sweep(params_list, positions, wrap, states, stepkey):
         nconf = positions.shape[0]
         dtype = positions.dtype
 
         def ebody(e, carry):
-            positions, states, acc = carry
+            positions, wrap, states, acc = carry
             k1 = jax.random.fold_in(stepkey, 2 * e)
             k2 = jax.random.fold_in(stepkey, 2 * e + 1)
             epos = positions[:, e, :]
@@ -61,7 +72,7 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
             )
             gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
             prop = epos + gauss + tstep * drift
-            newpos, _ = geometry.enforce(prop)
+            newpos, wrapdelta = geometry.enforce(prop)
             ratios, saveds, gnews = [], [], []
             for wf, p, s in zip(wfs, params_list, states):
                 g, r, sv = wf.gradient_value(p, s, e, newpos)
@@ -91,20 +102,28 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
             positions = positions.at[:, e, :].set(
                 jnp.where(accept[:, None], newpos, epos)
             )
-            return positions, states, acc + jnp.mean(accept.astype(dtype))
+            wrap = wrap.at[:, e, :].set(
+                jnp.where(accept[:, None], wrap[:, e, :] + wrapdelta,
+                          wrap[:, e, :])
+            )
+            return positions, wrap, states, acc + jnp.mean(accept.astype(dtype))
 
         return jax.lax.fori_loop(
-            0, nelec, ebody, (positions, states, jnp.zeros((), dtype))
+            0, nelec, ebody, (positions, wrap, states, jnp.zeros((), dtype))
         )
 
-    def block(params_list, positions, key):
+    def block(params_list, positions, wrap, key):
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         states = tuple(
             wf.recompute(p, positions) for wf, p in zip(wfs, params_list)
         )
 
         def step_fn(carry, stepkey):
-            positions, states = carry
-            positions, states, acc = sweep(params_list, positions, states, stepkey)
+            positions, wrap, states = carry
+            positions, wrap, states, acc = sweep(
+                params_list, positions, wrap, states, stepkey
+            )
             a, rho = _amplitudes(wfs, params_list, states)
             nij = jnp.einsum("ic,jc->ijc", jnp.conj(a), a) / rho[None, None, :]
             out = {"acceptance": acc / nelec, "overlap": jnp.mean(nij, axis=-1)}
@@ -124,29 +143,63 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
                         wb = w.reshape(w.shape + (1,) * (v.ndim - 1))
                         out[f"{name}{i}_{kname}_num"] = jnp.mean(wb * v, axis=0)
                     out[f"state{i}_den"] = jnp.mean(w)
-            return (positions, states), out
+            return (positions, wrap, states), out
 
         keys = jax.random.split(key, nsteps)
-        (positions, states), outs = jax.lax.scan(step_fn, (positions, states), keys)
+        (positions, wrap, states), outs = jax.lax.scan(
+            step_fn, (positions, wrap, states), keys
+        )
         avg = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
-        return positions, avg
+        if axis is not None:
+            # equal shard sizes -> global mean = pmean of local means
+            avg = jax.lax.pmean(avg, axis)
+        return positions, wrap, avg
 
-    return jax.jit(block)
+    if mesh is None:
+        return jax.jit(block, donate_argnums=(1, 2))
+
+    from jax.sharding import PartitionSpec as P
+
+    pw = P(axis)
+    return jax.jit(
+        jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(P(), pw, pw, P()),
+            out_specs=(pw, pw, P()),
+            check_vma=False,
+        ),
+        donate_argnums=(1, 2),
+    )
 
 
 def sample_overlap(wfs, params_list, configs, key, nblocks=10, nsteps=10,
-                   tstep=0.5, energy_acc=None, accumulators=None):
-    """Returns (list of block dicts, final configs)."""
-    block = make_overlap_block(
-        wfs, configs.geometry, tstep=tstep, nsteps=nsteps,
-        energy_acc=energy_acc, accumulators=accumulators,
-    )
-    positions = configs.positions
+                   tstep=0.5, energy_acc=None, accumulators=None, mesh=None,
+                   block_fn=None):
+    """Returns (list of block dicts, final configs).
+
+    Pass a prebuilt `block_fn` (from make_overlap_block) to reuse one compiled
+    kernel across calls — optimize_ensemble does this so a 10-iteration run
+    compiles the overlap block once, not ten times."""
+    if block_fn is None:
+        block_fn = make_overlap_block(
+            wfs, configs.geometry, tstep=tstep, nsteps=nsteps,
+            energy_acc=energy_acc, accumulators=accumulators, mesh=mesh,
+        )
+    positions, wrap = configs.positions, configs.wrap
+    if mesh is not None:
+        from ..parallel.mesh import shard_walkers
+
+        positions, wrap = shard_walkers(mesh, positions, wrap)
     data = []
     for b in range(nblocks):
         key, bkey = jax.random.split(key)
-        positions, avg = block(tuple(params_list), positions, bkey)
+        positions, wrap, avg = block_fn(tuple(params_list), positions, wrap, bkey)
         data.append(jax.tree.map(np.asarray, avg))
     import dataclasses
 
-    return data, dataclasses.replace(configs, positions=positions)
+    return data, dataclasses.replace(
+        configs,
+        positions=jax.device_get(positions),
+        wrap=jax.device_get(wrap),
+    )

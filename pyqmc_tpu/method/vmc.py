@@ -157,6 +157,7 @@ def vmc(
     verbose: bool = False,
     mesh: Optional[jax.sharding.Mesh] = None,
     continue_from_block: int = 0,
+    continue_from: Optional[str] = None,
     block_fn=None,
     profile_dir: Optional[str] = None,
     profile_phases: bool = False,
@@ -165,6 +166,11 @@ def vmc(
 
     With `mesh`, walker arrays are sharded over the mesh's first axis and all
     block averages are computed as XLA collectives (single controller).
+
+    continue_from: fork a run from a DIFFERENT checkpoint file — walker
+    configs are loaded from it, blocks restart at 0, and output goes to
+    `hdf_file` (which must not already exist: overwrite guard, reference
+    mc.py:224-243 `continue_from` semantics).
 
     profile_dir: write a jax.profiler (XProf/TensorBoard) trace of the first
     block to this directory — the on-device per-op timeline.
@@ -175,14 +181,47 @@ def vmc(
     """
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
+
+    def _load_checkpoint_configs(f, fname):
+        saved = Configs.from_hdf(f["configs"])
+        if saved.positions.shape != configs.positions.shape:
+            raise ValueError(
+                f"VMC checkpoint {fname}: walker shape "
+                f"{saved.positions.shape} does not match requested "
+                f"{configs.positions.shape}; rerun with matching nconfig "
+                "or delete the file"
+            )
+        if saved.geometry != configs.geometry:
+            raise ValueError(
+                f"VMC checkpoint {fname}: lattice does not match the "
+                "requested geometry"
+            )
+        return saved
+
+    if continue_from is not None:
+        # fork: configs from another run's checkpoint, fresh block counter
+        import os, h5py
+
+        if hdf_file is not None and os.path.exists(hdf_file):
+            raise ValueError(
+                f"continue_from: output file {hdf_file} already exists — "
+                "refusing to overwrite (pick a new hdf_file)"
+            )
+        with h5py.File(continue_from, "r") as f:
+            if "configs" not in f:
+                raise ValueError(
+                    f"continue_from file {continue_from} holds no walker "
+                    "configs"
+                )
+            configs = _load_checkpoint_configs(f, continue_from)
     # auto-continue from an existing checkpoint (mc.py:224-243 semantics)
-    if hdf_file is not None and continue_from_block == 0:
+    elif hdf_file is not None and continue_from_block == 0:
         import os, h5py
 
         if os.path.exists(hdf_file):
             with h5py.File(hdf_file, "r") as f:
                 if "configs" in f and "block" in f:
-                    configs = Configs.from_hdf(f["configs"])
+                    configs = _load_checkpoint_configs(f, hdf_file)
                     continue_from_block = int(np.asarray(f["block"])[-1]) + 1
                     key = jax.random.fold_in(key, continue_from_block)
     if block_fn is None:

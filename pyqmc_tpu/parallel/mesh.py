@@ -27,8 +27,18 @@ def walker_mesh(n_devices=None, axis_name="walkers"):
 
 
 def shard_walkers(mesh, *arrays):
-    """Place arrays with the leading walker axis sharded over the mesh."""
+    """Place arrays with the leading walker axis sharded over the mesh.
+
+    Raises if the walker count does not divide evenly over the devices (the
+    per-shard kernels assume equal shard sizes so pmean = global mean)."""
     sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    ndev = mesh.devices.size
+    for a in arrays:
+        if a.shape[0] % ndev != 0:
+            raise ValueError(
+                f"walker count {a.shape[0]} must divide evenly over "
+                f"{ndev} devices (see parallel.mesh.pad_to_devices)"
+            )
     out = tuple(jax.device_put(a, sh) for a in arrays)
     return out[0] if len(out) == 1 else out
 

@@ -24,22 +24,117 @@ from .configs import initial_guess
 from . import reblock as rb
 
 
-def _setup(mol, mf=None, nconfig=500, jastrow3=False, seed=0, naip=6):
+def _setup(mol, mf=None, nconfig=500, jastrow3=False, jastrow_kws=None,
+           seed=0, naip=None):
+    # naip=None keeps the accumulator's per-atom 12/6 reference default
+    # (eval_ecp.py:239-240); pass an int to pin the quadrature grid.
     if mf is None:
         mf = run_scf(mol)
-    wf, params, to_opt = generate_wf(mol, mf, jastrow3=jastrow3)
+    wf, params, to_opt = generate_wf(
+        mol, mf, jastrow3=jastrow3, jastrow_kws=jastrow_kws
+    )
     configs = initial_guess(mol, nconfig, key=jax.random.PRNGKey(seed))
     ecp_acc = ECPAccumulator(mol, naip=naip) if getattr(mol, "ecp", None) else None
     energy = EnergyAccumulator(mol, ecp_acc=ecp_acc)
     return mf, wf, params, to_opt, configs, energy
 
 
+def _slater_orbitals(wf):
+    """The orbital evaluator of the Slater factor of a (possibly composite)
+    recipe wavefunction."""
+    base = wf.wfs[0] if hasattr(wf, "wfs") else wf
+    return base.orbitals
+
+
+def generate_accumulators(
+    mol, mf, wf=None, energy=True, rdm1=False, sq=False,
+    extra_accumulators=None, naip=None, sq_qlist=None, aux_sigma=1.5,
+):
+    """Observable-accumulator factory (reference recipes.py:68-108 parity).
+
+    Selected by plain kwargs: `energy` wires the full local-energy
+    accumulator (auto-ECP), `rdm1` the one-body density matrix per spin
+    (molecular OBDM in the SCF MO basis; periodic KOBDM in the wavefunction's
+    twist-resolved k-point MO basis — requires `wf`), `sq` the charge/spin
+    structure factor (periodic cells use the reciprocal-lattice grid;
+    molecules must pass `sq_qlist`). `extra_accumulators` are merged in;
+    name collisions with generated ones raise.
+    """
+    from .observables.obdm import OBDMAccumulator, KOBDMAccumulator
+    from .observables.sq import SqAccumulator
+
+    acc = {} if extra_accumulators is None else dict(extra_accumulators)
+    periodic = getattr(mol, "lattice", None) is not None
+
+    def _claim(name):
+        if name in acc:
+            raise ValueError(
+                f"accumulator name '{name}' appears in extra_accumulators "
+                "and is also requested by flag"
+            )
+
+    if energy:
+        _claim("energy")
+        ecp_acc = (
+            ECPAccumulator(mol, naip=naip) if getattr(mol, "ecp", None) else None
+        )
+        acc["energy"] = EnergyAccumulator(mol, ecp_acc=ecp_acc)
+    if rdm1:
+        _claim("rdm1_up")
+        _claim("rdm1_down")
+        if periodic:
+            if wf is None:
+                raise ValueError(
+                    "periodic rdm1 needs `wf` to reuse its twist-resolved "
+                    "k-point orbital evaluator"
+                )
+            orb = _slater_orbitals(wf)
+            acc["rdm1_up"] = KOBDMAccumulator(mol, orb, spin=0,
+                                              aux_sigma=aux_sigma)
+            acc["rdm1_down"] = KOBDMAccumulator(mol, orb, spin=1,
+                                                aux_sigma=aux_sigma)
+        else:
+            ca, cb = mf.mo_coeff
+            acc["rdm1_up"] = OBDMAccumulator(mol, ca, spin=0,
+                                             aux_sigma=aux_sigma)
+            acc["rdm1_down"] = OBDMAccumulator(mol, cb, spin=1,
+                                               aux_sigma=aux_sigma)
+    if sq:
+        _claim("sq")
+        if periodic:
+            acc["sq"] = SqAccumulator(mol)
+        elif sq_qlist is not None:
+            acc["sq"] = SqAccumulator(qlist=sq_qlist)
+        else:
+            raise ValueError(
+                "sq=True on an open system needs an explicit sq_qlist"
+            )
+    return acc
+
+
+def _resolve_accumulators(mol, mf, wf, accumulators, naip=None):
+    """VMC/DMC `accumulators` argument: either a dict of ready accumulator
+    objects (merged with the default energy accumulator) or a dict of
+    generate_accumulators kwargs, reference-style
+    (e.g. accumulators={"rdm1": True})."""
+    if not accumulators:
+        return {}
+    if all(hasattr(v, "avg") for v in accumulators.values()):
+        return dict(accumulators)
+    return generate_accumulators(
+        mol, mf, wf=wf, energy=False, naip=naip, **accumulators
+    )
+
+
 def OPTIMIZE(
     mol, output: Optional[str] = None, mf=None, nconfig=500, max_iterations=15,
-    jastrow3=False, seed=0, verbose=False, **linemin_kws,
+    jastrow3=False, jastrow_kws=None, naip=None, seed=0, verbose=False,
+    **linemin_kws,
 ):
     """Optimize a Slater-Jastrow wf; returns (wf, params, records)."""
-    mf, wf, params, to_opt, configs, energy = _setup(mol, mf, nconfig, jastrow3, seed)
+    mf, wf, params, to_opt, configs, energy = _setup(
+        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip
+    )
     lt = LinearTransform(params, to_opt)
     _, configs = vmc(
         wf, params, configs, nblocks=4, nsteps_per_block=10,
@@ -61,10 +156,19 @@ def OPTIMIZE(
 def VMC(
     mol, output: Optional[str] = None, mf=None, params=None, nconfig=500,
     nblocks=50, nsteps_per_block=10, tstep=0.5, accumulators=None,
-    load_parameters: Optional[str] = None, seed=0, mesh=None, verbose=False,
+    load_parameters: Optional[str] = None, jastrow3=False, jastrow_kws=None,
+    naip=None, seed=0, mesh=None, verbose=False,
 ):
-    """Run VMC; returns (block data, configs)."""
-    mf, wf, params0, to_opt, configs, energy = _setup(mol, mf, nconfig, seed=seed)
+    """Run VMC; returns (block data, configs).
+
+    accumulators: ready accumulator objects ({"sq": SqAccumulator(...)}) or
+    generate_accumulators kwargs ({"rdm1": True}), merged with the energy
+    accumulator. jastrow3/jastrow_kws must match the OPTIMIZE call that
+    produced `load_parameters` so the parameter pytree round-trips.
+    """
+    mf, wf, params0, to_opt, configs, energy = _setup(
+        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip
+    )
     if params is None:
         params = params0
     if load_parameters is not None:
@@ -73,7 +177,7 @@ def VMC(
         with h5py.File(load_parameters, "r") as f:
             params = read_wf_params(f["wf"], params0)
     accs = {"energy": energy}
-    accs.update(accumulators or {})
+    accs.update(_resolve_accumulators(mol, mf, wf, accumulators, naip=naip))
     data, configs = vmc(
         wf, params, configs, nblocks=nblocks, nsteps_per_block=nsteps_per_block,
         tstep=tstep, accumulators=accs, key=jax.random.PRNGKey(seed + 3),
@@ -84,11 +188,14 @@ def VMC(
 
 def DMC(
     mol, output: Optional[str] = None, mf=None, params=None, nconfig=500,
-    nblocks=100, nsteps_per_block=10, tstep=0.02,
-    load_parameters: Optional[str] = None, seed=0, mesh=None, verbose=False,
+    nblocks=100, nsteps_per_block=10, tstep=0.02, accumulators=None,
+    load_parameters: Optional[str] = None, jastrow3=False, jastrow_kws=None,
+    naip=None, seed=0, mesh=None, verbose=False,
     **dmc_kws,
 ):
-    mf, wf, params0, to_opt, configs, energy = _setup(mol, mf, nconfig, seed=seed)
+    mf, wf, params0, to_opt, configs, energy = _setup(
+        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip
+    )
     if params is None:
         params = params0
     if load_parameters is not None:
@@ -96,6 +203,9 @@ def DMC(
 
         with h5py.File(load_parameters, "r") as f:
             params = read_wf_params(f["wf"], params0)
+    extra = _resolve_accumulators(mol, mf, wf, accumulators, naip=naip)
+    if extra:
+        dmc_kws["accumulators"] = {**dmc_kws.get("accumulators", {}), **extra}
     data, configs, weights = rundmc(
         wf, params, configs, nblocks=nblocks, nsteps_per_block=nsteps_per_block,
         tstep=tstep, energy_acc=energy, key=jax.random.PRNGKey(seed + 4),

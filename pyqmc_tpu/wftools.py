@@ -174,17 +174,38 @@ def save_wf_params(hdf_grp, params):
             hdf_grp.create_dataset(key, data=data)
 
 
-def read_wf_params(hdf_grp, params_template):
+def read_wf_params(hdf_grp, params_template, strict=True):
     """Load parameters saved by save_wf_params into the template's structure
-    (wftools.read_wf, wftools.py:244-272)."""
+    (wftools.read_wf, wftools.py:244-272).
+
+    strict: raise if the file holds parameter groups the template does not —
+    loading e.g. a jastrow3-optimized file into a 2-body-only wavefunction
+    would otherwise silently drop the three-body coefficients (rebuild the
+    wf with the same jastrow3/jastrow_kws flags instead)."""
     import jax
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
     leaves = []
+    consumed = set()
     for path, leaf in flat:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         arr = np.asarray(hdf_grp[key])
         if arr.shape != np.shape(leaf):
             raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {np.shape(leaf)}")
+        consumed.add(key)
         leaves.append(jnp.asarray(arr))
+    if strict:
+        stored = []
+        hdf_grp.visit(
+            lambda name: stored.append(name)
+            if hasattr(hdf_grp[name], "shape") else None
+        )
+        extra = sorted(set(stored) - consumed)
+        if extra:
+            raise ValueError(
+                f"parameter file holds groups the wavefunction does not: "
+                f"{extra} — rebuild the wf with the flags (jastrow3, "
+                "jastrow_kws, ...) used when it was saved, or pass "
+                "strict=False to drop them"
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)

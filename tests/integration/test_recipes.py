@@ -25,6 +25,50 @@ def test_optimize_then_vmc_roundtrip(tmp_path):
     assert out["energytotal"] < -1.1167 + 4 * out["energytotal_err"]
 
 
+def test_recipes_jastrow3_rdm1_roundtrip(tmp_path):
+    """VERDICT r2 item 5: OPTIMIZE with a three-body Jastrow, reload the
+    parameter file through the VMC recipe with a generated rdm1 accumulator,
+    and read everything back with read_mc_output."""
+    mol = Molecule("H 0 0 0; H 0 0 1.4", basis="sto-3g")
+    opt_file = str(tmp_path / "opt3.h5")
+    wf, params, records = OPTIMIZE(
+        mol, output=opt_file, nconfig=200, max_iterations=2, vmc_blocks=3,
+        jastrow3=True,
+    )
+    vmc_file = str(tmp_path / "vmc3.h5")
+    data, configs = VMC(
+        mol, output=vmc_file, load_parameters=opt_file, nconfig=200,
+        nblocks=8, jastrow3=True, accumulators={"rdm1": True}, seed=7,
+    )
+    out = read_mc_output(vmc_file, warmup=2)
+    assert "energytotal" in out
+    assert "rdm1_upvalue" in out, sorted(out)
+    # trace of the (normalized-enough) spin-up 1-RDM ~ 1 electron in the
+    # occupied MO; loose sanity: diagonal dominated by MO 0
+    rdm = np.asarray(out["rdm1_upvalue"])
+    assert rdm.shape == (2, 2)
+    assert rdm[0, 0] > abs(rdm[1, 1]), rdm
+    # without the jastrow3 flag the parameter file cannot round-trip
+    with pytest.raises(Exception):
+        VMC(mol, load_parameters=opt_file, nconfig=100, nblocks=1, seed=8)
+
+
+def test_generate_accumulators_flags():
+    from pyqmc_tpu.recipes import generate_accumulators
+    from pyqmc_tpu.system.scf import run_scf
+
+    mol = Molecule("H 0 0 0; H 0 0 1.4", basis="sto-3g")
+    mf = run_scf(mol)
+    acc = generate_accumulators(mol, mf, energy=True, rdm1=True)
+    assert set(acc) == {"energy", "rdm1_up", "rdm1_down"}
+    with pytest.raises(ValueError, match="sq_qlist"):
+        generate_accumulators(mol, mf, sq=True)
+    with pytest.raises(ValueError, match="extra_accumulators"):
+        generate_accumulators(
+            mol, mf, energy=True, extra_accumulators={"energy": acc["energy"]}
+        )
+
+
 def test_dmc_recipe(tmp_path):
     mol = Molecule("H 0 0 0", basis="ccpvdz", spin=1)
     f = str(tmp_path / "dmc.h5")
