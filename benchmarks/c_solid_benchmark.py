@@ -1,11 +1,19 @@
 """Periodic diamond-C benchmark (counterpart of the reference's
 benchmarks/c_solid_benchmark.py:10-45): k-point Slater + Jastrow kernel
-timings on the primitive diamond cell with ccECP.
+timings AND end-to-end SJ-VMC throughput on the 2x2x2 diamond supercell
+(16 C atoms, 64 valence electrons, ccECP), on two twist tiers:
+
+  * TRIM: the 2x2x2 Monkhorst-Pack k-mesh is realified (all twists are
+    time-reversal-invariant momenta) -> real orbital arithmetic;
+  * general twist: k-mesh shifted off TRIM -> PairKSlater real-pair
+    arithmetic (the path whose pair algebra ~4x's the matmul work).
 
 Uses the extracted reference SCF fixture for MO coefficients
-(tests/files/diamond_primitive.npz).
+(tests/files/diamond_primitive.npz, KRKS e_tot -10.5075 Ha/prim cell —
+the recorded energy-sanity anchor).
 
 Run: python benchmarks/c_solid_benchmark.py [nconfig]
+     python benchmarks/c_solid_benchmark.py [nconfig] --kernels-only
 """
 
 import os
@@ -80,5 +88,93 @@ def main(nconfig=500):
     timeit("ecp (all electrons)", ecpf, params, st, pos)
 
 
+E_FIXTURE_PER_CELL = -10.5075  # KRKS e_tot of the committed fixture
+
+
+def e2e_vmc(nconfig=500, nsteps=10, general_twist=False, nwarm=6, nrep=4):
+    """End-to-end SJ-VMC walker-steps/s on the diamond 2x2x2 supercell.
+
+    Returns (walker_steps_per_s, energy_per_prim_cell)."""
+    from fixtures_pbc import load_cell
+    from pyqmc_tpu.system.supercell import get_supercell
+    from pyqmc_tpu.models.orbitals import KPointOrbitals
+    from pyqmc_tpu.models.slater import Slater, DeterminantExpansion
+    from pyqmc_tpu.models.slater_pair import PairKSlater
+    from pyqmc_tpu.models.jastrow import JastrowSpin
+    from pyqmc_tpu.models.multiply import MultiplyWF
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+    from pyqmc_tpu.method.vmc import make_vmc_block
+    from pyqmc_tpu.configs import initial_guess
+    from pyqmc_tpu.wftools import default_jastrow_basis
+
+    cell, d = load_cell("diamond_primitive")
+    sup = get_supercell(cell, 2 * np.eye(3, dtype=int))
+    kpts = np.asarray(d["kpts"])
+    nocc = 4
+    blocks = [np.asarray(d["mo_coeff"][k])[:, :nocc] for k in range(len(kpts))]
+    norb = nocc * len(kpts)
+    expn = DeterminantExpansion.single(norb, norb)
+    if general_twist:
+        kpts = kpts + np.array([0.023, -0.017, 0.011])
+        orb = KPointOrbitals(cell, kpts, (blocks, blocks), realify=False,
+                             img_tol=1e-4)
+        slater = PairKSlater(sup, orb, expn)
+        tag = "general-twist PairKSlater"
+    else:
+        orb = KPointOrbitals(cell, kpts, (blocks, blocks), img_tol=1e-4)
+        slater = Slater(sup, orb, expn)
+        tag = f"TRIM (real_mode={orb.real_mode})"
+    a_b, b_b = default_jastrow_basis(sup)
+    sj = MultiplyWF(slater, JastrowSpin(sup, a_basis=a_b, b_basis=b_b))
+    params = sj.make_params()
+    acc = {"energy": EnergyAccumulator(sup)}
+    configs = initial_guess(sup, nconfig, key=jax.random.PRNGKey(3))
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else configs.positions.dtype
+    pos = configs.positions.astype(dtype)
+    wrap = configs.wrap
+    params = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "astype") and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x,
+        params,
+    )
+    block = make_vmc_block(sj, acc, configs.geometry, tstep=0.5, nsteps=nsteps)
+    key = jax.random.PRNGKey(4)
+    t_compile = time.perf_counter()
+    # compile + equilibrate + axon execution warmup (first ~4 post-compile
+    # executions run up to 5x slow on the tunnel)
+    for _ in range(max(nwarm, 5)):
+        key, bk = jax.random.split(key)
+        pos, wrap, avg = block(params, pos, wrap, bk)
+        _ = float(avg["energytotal"])
+    t_compile = time.perf_counter() - t_compile
+    # pipelined steady-state timing (dispatch all, one sync at the end),
+    # matching the production vmc() lag-1 pipeline
+    avgs = []
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        key, bk = jax.random.split(key)
+        pos, wrap, avg = block(params, pos, wrap, bk)
+        avgs.append(avg)
+    for a in avgs:
+        _ = float(a["energytotal"])  # forced sync (axon tunnel)
+    dt = (time.perf_counter() - t0) / nrep
+    rate = nconfig * nsteps / dt
+    ncell = 8  # 2x2x2 supercell of the primitive cell
+    e_cell = float(avg["energytotal"]) / ncell
+    print(
+        f"e2e SJ-VMC [{tag}] backend={jax.default_backend()} "
+        f"nconfig={nconfig} nsteps={nsteps}: {rate:,.0f} walker-steps/s "
+        f"(block {dt*1e3:.1f} ms, warm+compile {t_compile:.1f} s)  "
+        f"E/cell {e_cell:.4f} Ha (fixture KRKS {E_FIXTURE_PER_CELL}, "
+        f"delta {e_cell - E_FIXTURE_PER_CELL:+.4f})"
+    )
+    return rate, e_cell
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
+    nconfig = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 500
+    main(nconfig)
+    if "--kernels-only" not in sys.argv:
+        e2e_vmc(nconfig, general_twist=False)
+        e2e_vmc(nconfig, general_twist=True)

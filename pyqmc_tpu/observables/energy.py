@@ -1,15 +1,18 @@
 """Local-energy pieces: kinetic + open-boundary Coulomb.
 
-Port of pyqmc/observables/energy.py:19-65 with the kinetic sweep compiled as
-a lax.fori_loop over electrons (the reference loops in Python per electron).
-"""
+Port of pyqmc/observables/energy.py:19-65 with the kinetic sweep VECTORIZED
+over electrons (the reference loops in Python per electron; a sequential
+lax.fori_loop was measured dispatch-bound on TPU — hundreds of micro-ops on
+(nconf,)-sized tensors — so electrons are vmapped into one batched
+evaluation, chunked to bound the footprint for large systems)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 
-def kinetic_energy(wf, params, state, positions, with_imag=False):
+def kinetic_energy(wf, params, state, positions, with_imag=False,
+                   echunk="auto"):
     """(-1/2) sum_e lap_e psi / psi and sum_e |grad_e psi/psi|^2.
 
     Returns (ke (nconf,), grad2 (nconf,)), or (ke, grad2, ke_im) when
@@ -18,8 +21,15 @@ def kinetic_energy(wf, params, state, positions, with_imag=False):
     local kinetic energy — zero in expectation, but needed by the
     complex-parameter SR gradient (observables/sr.py) and fixed-phase
     diagnostics.
+
+    echunk: electrons vmapped per batched gradient_laplacian call (chunked
+    with a scan above that size to bound the AO-evaluation footprint).
+    "auto" bounds the batch at 16k (electron, walker) evaluation points,
+    resolved from the static shapes at trace time; None = all electrons.
     """
     nconf, nelec = positions.shape[:2]
+    if echunk == "auto":
+        echunk = max(1, 16384 // max(nconf, 1))
     dtype = positions.dtype
     # real-backend twist wavefunctions carry the phase-curvature channel in
     # gradient_laplacian_pair (their gradient_laplacian returns Re only)
@@ -27,27 +37,50 @@ def kinetic_energy(wf, params, state, positions, with_imag=False):
         wf, "gradient_laplacian_pair"
     )
 
-    def body(e, carry):
-        lap_acc, grad2_acc, lapim_acc = carry
+    def one(e):
+        """(lap_re, grad2, lap_im) contribution of electron e: (nconf,)x3."""
         if use_pair:
             gr, gi, lap_re, lap_im = wf.gradient_laplacian_pair(
                 params, state, e, positions[:, e, :]
             )
-            return (
-                lap_acc + lap_re,
-                grad2_acc + jnp.sum(gr * gr + gi * gi, axis=-1),
-                lapim_acc + lap_im,
-            )
+            return lap_re, jnp.sum(gr * gr + gi * gi, axis=-1), lap_im
         g, lap = wf.gradient_laplacian(params, state, e, positions[:, e, :])
-        lap_im = jnp.imag(lap) if jnp.iscomplexobj(lap) else jnp.zeros_like(lap_acc)
+        lap_im = (
+            jnp.imag(lap) if jnp.iscomplexobj(lap)
+            else jnp.zeros(nconf, dtype)
+        )
         return (
-            lap_acc + jnp.real(lap),
-            grad2_acc + jnp.sum(jnp.abs(g) ** 2, axis=-1),
-            lapim_acc + lap_im,
+            jnp.real(lap),
+            jnp.sum(jnp.abs(g) ** 2, axis=-1),
+            lap_im,
         )
 
-    lap0 = jnp.zeros(nconf, dtype=dtype)
-    lap, grad2, lap_im = jax.lax.fori_loop(0, nelec, body, (lap0, lap0, lap0))
+    es = jnp.arange(nelec)
+    if echunk is None or echunk >= nelec:
+        la, g2, li = jax.vmap(one)(es)  # (nelec, nconf)
+        lap = jnp.sum(la, axis=0)
+        grad2 = jnp.sum(g2, axis=0)
+        lap_im = jnp.sum(li, axis=0)
+    else:
+        pad = (-nelec) % echunk
+        es_p = jnp.concatenate([es, jnp.zeros(pad, es.dtype)])
+        valid = (jnp.arange(nelec + pad) < nelec).astype(dtype)
+
+        def chunk_body(carry, args):
+            ec, vc = args
+            la, g2, li = jax.vmap(one)(ec)
+            v = vc[:, None]
+            return (
+                carry[0] + jnp.sum(la * v, axis=0),
+                carry[1] + jnp.sum(g2 * v, axis=0),
+                carry[2] + jnp.sum(li * v, axis=0),
+            ), None
+
+        z = jnp.zeros(nconf, dtype)
+        (lap, grad2, lap_im), _ = jax.lax.scan(
+            chunk_body, (z, z, z),
+            (es_p.reshape(-1, echunk), valid.reshape(-1, echunk)),
+        )
     if with_imag:
         return -0.5 * lap, grad2, -0.5 * lap_im
     return -0.5 * lap, grad2

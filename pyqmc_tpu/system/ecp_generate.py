@@ -1,0 +1,284 @@
+"""Generate ccECP-form pseudopotentials from scratch ("tpu1" set).
+
+The published ccECP tables for most elements are not available offline
+(no network, no PySCF data files), and transcribing digits from memory is
+not verifiable. This module instead GENERATES pseudopotentials of the same
+functional form, fitted so the pseudo-atom reproduces this package's own
+all-electron UHF valence physics:
+
+  targets per occupied valence channel l:
+    - the valence orbital eigenvalue eps_l (energy consistency), and
+    - the valence orbital radial moment <r>_l (shape/norm consistency
+      outside the core),
+  computed with the same SCF engine in large even-tempered seas, so
+  systematic basis errors largely cancel between the two sides.
+
+Functional form (identical to ccECP / the pyscf "rnExp" convention used by
+observables/ecp.py and system/ecp_integrals.py):
+
+  V_loc(r) = -Zeff/r [1 - e^{-a1 r^2}] + Zeff a1 r e^{-a1 r^2}
+  V_l(r)   = c_l e^{-b_l r^2}   (projector on l, for each l < l_local)
+
+i.e. local entries [(1, a1, Zeff), (3, a1, Zeff*a1)] — the n=1 coefficient
+equals Zeff and the n=3 coefficient equals Zeff*a1 exactly as in the
+published tables (the transcription-check constraint in system/basis.py).
+The core-turnover scale a1 is set from the all-electron core radius; the
+projector parameters (b_l, c_l) are fitted by least squares.
+
+This yields shape-and-energy-consistent HF-quality pseudopotentials. They
+are NOT the published ccECP parameters and are not labeled as such: the
+library key is "tpu1" and every entry records its generation targets.
+Reference role: pyqmc consumes pyscf's published tables
+(/root/reference/pyqmc/pyscftools.py); the equivalent breadth here is
+provided by generation plus the NWChem-format parser for user-supplied
+published tables (system/basis.py:70-213).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .elements import atomic_number
+
+
+# Hund ground-state spin (2S) for neutral atoms, valence shells
+GROUND_SPIN = {
+    1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1, 10: 0,
+    11: 1, 12: 0, 13: 1, 14: 2, 15: 3, 16: 2, 17: 1, 18: 0,
+    19: 1, 20: 0, 21: 1, 22: 2, 23: 3, 24: 6, 25: 5, 26: 4, 27: 3,
+    28: 2, 29: 1, 30: 0,
+}
+
+
+def _atom_scf(symbol, basis, ecp, spin):
+    from .mole import Molecule
+    from .scf import run_scf
+
+    mol = Molecule(
+        f"{symbol} 0 0 0", basis={symbol: basis},
+        ecp=None if ecp is None else {symbol: ecp}, spin=spin,
+    )
+    return mol, run_scf(mol)
+
+
+def _mo_l_character(mol, mf):
+    """Per-MO dominant angular momentum and purity (alpha spin).
+
+    Returns (l_of_mo, purity) arrays over occupied alpha MOs. Atomic MOs
+    are symmetry-pure, so purity ~1."""
+    nocc = mol.nelec[0]
+    C = np.asarray(mf.mo_coeff[0])[:, :nocc]
+    lmax = max(sh.l for sh in mol.shells)
+    weights = np.zeros((lmax + 1, nocc))
+    for sh in mol.shells:
+        for m in range(2 * sh.l + 1):
+            weights[sh.l] += C[sh.ao_offset + m] ** 2
+    weights /= np.maximum(weights.sum(axis=0), 1e-300)
+    return np.argmax(weights, axis=0), np.max(weights, axis=0)
+
+
+def _radial_moment(mol, mf, col, nrad=400, rmax=40.0):
+    """<r> of occupied alpha MO `col`, by numerical quadrature.
+
+    Atomic MOs factor as R(r)Y_lm; integrate |MO|^2 r over a radial grid
+    times a coarse angular average (exact for a single Y_lm since |Y|^2
+    integrates to 1/(4pi) per point average)."""
+    from ..ops.gto import GTOSpec, eval_gto
+    from .ecp_integrals import _angular_grid
+
+    spec = GTOSpec.from_molecule(mol)
+    C = np.asarray(mf.mo_coeff[0])[:, col]
+    # log-spaced radial grid with trapezoid weights
+    r = np.geomspace(1e-4, rmax, nrad)
+    wr = np.gradient(r)
+    pts, wang = _angular_grid(ntheta=12, nphi=12)  # integrates to 4pi
+    xyz = (r[:, None, None] * pts[None, :, :]).reshape(-1, 3)
+    ao = np.asarray(eval_gto(spec, xyz, 0))  # (nrad*nang, nao)
+    mo = (ao @ C).reshape(nrad, len(wang))
+    dens_r = (mo**2 @ wang) * r**2  # 4pi r^2 |R Y|^2 angular-integrated
+    norm = float(np.sum(dens_r * wr))
+    return float(np.sum(dens_r * r * wr) / norm)
+
+
+def core_counts(ncore):
+    """Per-l number of CORE orbitals for a noble-gas core size."""
+    return {
+        0: {},
+        2: {0: 1},               # [He]
+        10: {0: 2, 1: 1},        # [Ne]
+        18: {0: 3, 1: 2},        # [Ar]
+    }[ncore]
+
+
+def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None):
+    """All-electron UHF valence targets {l: [(eps, <r>), ...]} (every
+    occupied valence level of each l, semicore included, innermost first)
+    plus the core radius (largest <r> among core orbitals, used to set the
+    local-channel turnover scale)."""
+    Z = atomic_number(symbol)
+    if spin is None:
+        spin = GROUND_SPIN[Z]
+    if sea is None:
+        # exponents must cover the core cusp (~Z^2*30) down to the valence
+        # tail (~0.03)
+        hi = 30.0 * Z**2
+        n = int(np.ceil(np.log(hi / 0.025) / np.log(2.4))) + 1
+        sea = [
+            [l, [0.025 * 2.4**k, 1.0]]
+            for l in range(lmax_val + 1)
+            for k in range(n)
+        ]
+    mol, mf = _atom_scf(symbol, sea, None, spin)
+    l_of, purity = _mo_l_character(mol, mf)
+    eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
+    ncore_l = core_counts(ncore)
+    targets, core_r = {}, 0.0
+    for l in range(lmax_val + 1):
+        cols = [c for c in range(len(l_of)) if l_of[c] == l]
+        cols.sort(key=lambda c: eps[c])
+        ncl = ncore_l.get(l, 0)
+        for c in cols[:ncl]:
+            core_r = max(core_r, _radial_moment(mol, mf, c))
+        val = cols[ncl:]
+        if val:
+            targets[l] = [
+                (float(eps[c]), _radial_moment(mol, mf, c)) for c in val
+            ]
+    return {
+        "targets": targets,
+        "core_radius": core_r,
+        "e_tot": float(mf.e_tot),
+        "spin": spin,
+    }
+
+
+def _local_entries(zeff, a1):
+    # pyscf rnExp convention: powers r^{n-2}; the -Zeff/r Coulomb tail is
+    # implicit. Constraints: n=1 coeff = Zeff, n=3 coeff = Zeff*a1.
+    return [
+        [-1, [[], [[a1, zeff]], [], [[a1, zeff * a1]], [], [], []]],
+    ]
+
+
+def _assemble_ecp(ncore, zeff, a1, channels):
+    """pyscf-format [ncore, [[l, coeff-by-power blocks]...]] entry."""
+    entry = list(_local_entries(zeff, a1))
+    for l, (b, c) in sorted(channels.items()):
+        blocks = [[], [], [[b, c]], [], [], [], []]  # n=2 -> r^0 gaussian
+        entry.append([l, blocks])
+    return [ncore, entry]
+
+
+def _valence_sea(lmax, alpha0=0.028, beta=2.2, n=16, extra_l=()):
+    ls = list(range(lmax + 1)) + list(extra_l)
+    return [[l, [alpha0 * beta**k, 1.0]] for l in ls for k in range(n)]
+
+
+def pseudo_atom_levels(symbol, ecp_entry, lmax_val, spin, sea=None):
+    """{l: [(eps, <r>), ...]} of the pseudo-atom with a trial ECP
+    (all occupied levels per l, innermost first)."""
+    if sea is None:
+        sea = _valence_sea(lmax_val)
+    mol, mf = _atom_scf(symbol, sea, ecp_entry, spin)
+    l_of, _ = _mo_l_character(mol, mf)
+    eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
+    out = {}
+    for l in range(lmax_val + 1):
+        cols = [c for c in range(len(l_of)) if l_of[c] == l]
+        if cols:
+            cols.sort(key=lambda c: eps[c])
+            out[l] = [
+                (float(eps[c]), _radial_moment(mol, mf, c)) for c in cols
+            ]
+    return out, float(mf.e_tot)
+
+
+def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
+    """Fit a tpu1 pseudopotential; returns (pyscf entry, info dict).
+
+    Projector channels are created for every l with occupied valence
+    levels; the targets are ALL valence levels of that l (semicore
+    included): eigenvalues in Ha plus the outermost level's <r>
+    (relative). Channels without occupied levels (e.g. p for Na/Mg) fall
+    back to the local channel."""
+    import scipy.optimize
+
+    Z = atomic_number(symbol)
+    zeff = Z - ncore
+    ae = all_electron_targets(symbol, ncore, lmax_val=lmax_val)
+    spin = ae["spin"]
+    rc = max(ae["core_radius"], 0.05)
+    a1 = 2.0 / rc**2  # Coulomb turn-on at the core radius
+    tl = sorted(ae["targets"])
+    sea = _valence_sea(lmax_val)
+
+    def unpack(x):
+        ch = {}
+        for i, l in enumerate(tl):
+            ch[l] = (float(np.exp(x[2 * i])), float(np.exp(x[2 * i + 1])))
+        return ch
+
+    def residual(x):
+        entry = _assemble_ecp(ncore, zeff, a1, unpack(x))
+        try:
+            levels, _ = pseudo_atom_levels(symbol, entry, lmax_val, spin, sea)
+        except Exception:
+            levels = {}
+        out = []
+        for l in tl:
+            want = ae["targets"][l]
+            got = levels.get(l, [])
+            for j, (e_ae, r_ae) in enumerate(want):
+                if j < len(got):
+                    e_ps, r_ps = got[j]
+                    out.append(e_ps - e_ae)  # Ha
+                    if j == len(want) - 1:  # outermost level: shape too
+                        out.append((r_ps - r_ae) / r_ae)
+                else:
+                    out.append(10.0)
+                    if j == len(want) - 1:
+                        out.append(10.0)
+        if verbose:
+            print(f"  {symbol} resid {np.abs(np.asarray(out)).max():.5f}",
+                  flush=True)
+        return np.asarray(out)
+
+    # init: projector height ~ valence scale, width ~ core radius
+    x0 = []
+    for l in tl:
+        x0.extend([np.log(1.5 / rc**2), np.log(max(zeff, 2.0))])
+    x0 = np.asarray(x0)
+    res = scipy.optimize.least_squares(
+        residual, x0,
+        method="lm" if len(residual(x0)) >= len(x0) else "trf",
+        max_nfev=maxiter * max(len(x0), 1),
+    )
+    entry = _assemble_ecp(ncore, zeff, a1, unpack(res.x))
+    levels, e_ps = pseudo_atom_levels(symbol, entry, lmax_val, spin, sea)
+    info = {
+        "ae_targets": ae["targets"],
+        "pseudo_levels": levels,
+        "a1": a1,
+        "zeff": zeff,
+        "spin": spin,
+        "max_resid": float(np.abs(res.fun).max()),
+        "e_pseudo": e_ps,
+    }
+    return entry, info
+
+
+def to_nwchem(symbol, entry) -> str:
+    """Render a pyscf-format entry as NWChem exchange-format text (the
+    format system/basis.py parses and transcription-tests)."""
+    ncore, blocks = entry
+    lines = [f"{symbol} nelec {ncore}"]
+    letters = "SPDFGHI"
+    for l, powers in blocks:
+        tag = "ul" if l == -1 else letters[l]
+        lines.append(f"{symbol} {tag}")
+        for n, terms in enumerate(powers):
+            for alpha, c in terms:
+                lines.append(f"{n} {alpha:.8f} {c:.8f}")
+    return "\n".join(lines)
