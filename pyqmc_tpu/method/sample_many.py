@@ -186,7 +186,10 @@ def sample_overlap(wfs, params_list, configs, key, nblocks=10, nsteps=10,
             wfs, configs.geometry, tstep=tstep, nsteps=nsteps,
             energy_acc=energy_acc, accumulators=accumulators, mesh=mesh,
         )
-    positions, wrap = configs.positions, configs.wrap
+    # defensive copy: the block kernel donates its walker buffers; the
+    # caller's Configs must survive (cf. method/vmc.py)
+    positions = jnp.array(configs.positions, copy=True)
+    wrap = jnp.array(configs.wrap, copy=True)
     if mesh is not None:
         from ..parallel.mesh import shard_walkers
 

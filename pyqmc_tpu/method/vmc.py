@@ -238,7 +238,11 @@ def vmc(
             wf, accumulators, configs.geometry, tstep=tstep,
             nsteps=nsteps_per_block, mesh=mesh, accumulate_every=accumulate_every,
         )
-    positions, wrap = configs.positions, configs.wrap
+    # defensive copy: the block kernels donate their walker buffers, and the
+    # caller's Configs must survive (calling vmc twice with the same configs
+    # is legitimate — e.g. comparing wavefunctions on common walkers)
+    positions = jnp.array(configs.positions, copy=True)
+    wrap = jnp.array(configs.wrap, copy=True)
     if mesh is not None:
         axis = mesh.axis_names[0]
         if positions.shape[0] % mesh.devices.size != 0:

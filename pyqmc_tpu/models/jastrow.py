@@ -42,6 +42,12 @@ class JastrowSpin:
         self.a_basis = tuple(a_basis or func3d.default_ei_basis())
         self.b_basis = tuple(b_basis or func3d.default_ee_basis())
         self.geometry = geometry or Geometry(getattr(mol, "lattice", None))
+        # every basis is cutoff-bounded, so the cheap rounding minimal image
+        # is exact whenever max rcut <= half the min interplanar spacing
+        # (Geometry.minimal_image_for) — replaces the 27-image search that
+        # dominated periodic SJ-VMC blocks
+        rcut_max = max(b.rcut for b in self.a_basis + self.b_basis)
+        self._mi = self.geometry.minimal_image_for(rcut_max)
         self._spin = np.concatenate(
             [np.zeros(self.nup, dtype=np.int32), np.ones(self.ndn, dtype=np.int32)]
         )
@@ -65,7 +71,7 @@ class JastrowSpin:
     # --- internals --------------------------------------------------------
     def _dists(self, d):
         """Norm with minimal image applied; d (..., 3) displacement."""
-        dmi = self.geometry.minimal_image(d)
+        dmi = self._mi(d)
         return dmi, jnp.sqrt(jnp.sum(dmi * dmi, axis=-1))
 
     def _u_total(self, params, positions):

@@ -40,6 +40,10 @@ class ThreeBodyJastrow:
         self.a_basis = tuple(a_basis or func3d.default_ei_basis(3))
         self.b_basis = tuple(b_basis or func3d.default_ei_basis(3))
         self.geometry = geometry or Geometry(getattr(mol, "lattice", None))
+        # cutoff-bounded bases: rounding minimal image is exact for
+        # max rcut <= half min interplanar spacing (see JastrowSpin)
+        rcut_max = max(b.rcut for b in self.a_basis + self.b_basis)
+        self._mi = self.geometry.minimal_image_for(rcut_max)
         self._spin = np.concatenate(
             [np.zeros(self.nup, dtype=np.int32), np.ones(self.ndn, dtype=np.int32)]
         )
@@ -55,7 +59,7 @@ class ThreeBodyJastrow:
         d = positions[..., None, :] - jnp.asarray(
             self.atom_coords, positions.dtype
         )
-        d = self.geometry.minimal_image(d)
+        d = self._mi(d)
         r = jnp.sqrt(jnp.sum(d * d, axis=-1))
         if derivs:
             return d, func3d.eval_basis_all(self.a_basis, r)
@@ -65,7 +69,7 @@ class ThreeBodyJastrow:
         c = self._sym(params["ccoeff"])  # (I, k, l, m, 3)
         _, a = self._basis_ei(positions)  # (c, n, I, k)
         d_ee = positions[:, None, :, :] - positions[:, :, None, :]
-        d_ee = self.geometry.minimal_image(d_ee)
+        d_ee = self._mi(d_ee)
         r_ee = jnp.sqrt(jnp.sum(d_ee * d_ee, axis=-1) + 1e-300)
         b = func3d.eval_basis_value(self.b_basis, r_ee)  # (c, i, j, m)
         spin = jnp.asarray(self._spin)
@@ -86,13 +90,13 @@ class ThreeBodyJastrow:
         dtype = ep.dtype
         # e-ion basis at epos
         d_eI = ep[:, :, None, :] - jnp.asarray(self.atom_coords, dtype)[None, None]
-        d_eI = self.geometry.minimal_image(d_eI)
+        d_eI = self._mi(d_eI)
         r_eI = jnp.sqrt(jnp.sum(d_eI * d_eI, axis=-1))  # (c, A, I)
         # other electrons' e-ion basis (fixed)
         _, a_j = self._basis_ei(positions)  # (c, n, I, l)
         # e-e to others
         d_ej = ep[:, :, None, :] - positions[:, None, :, :]
-        d_ej = self.geometry.minimal_image(d_ej)
+        d_ej = self._mi(d_ej)
         r_ej = jnp.sqrt(jnp.sum(d_ej * d_ej, axis=-1) + 1e-300)  # (c, A, n)
         spin = jnp.asarray(self._spin)
         spin_e = (e >= self.nup).astype(jnp.int32)
@@ -167,12 +171,12 @@ class ThreeBodyJastrow:
         spin = jnp.asarray(self._spin)
         # shared pieces at epos
         d_eI = epos[:, None, :] - jnp.asarray(self.atom_coords, dtype)[None]
-        d_eI = self.geometry.minimal_image(d_eI)
+        d_eI = self._mi(d_eI)
         r_eI = jnp.sqrt(jnp.sum(d_eI * d_eI, axis=-1))
         a_e = func3d.eval_basis_value(self.a_basis, r_eI)  # (c, I, k)
         _, a_j = self._basis_ei(positions)  # (c, n, I, l)
         d_ej = epos[:, None, :] - positions
-        d_ej = self.geometry.minimal_image(d_ej)
+        d_ej = self._mi(d_ej)
         r_ej = jnp.sqrt(jnp.sum(d_ej * d_ej, axis=-1) + 1e-300)
         b_e = func3d.eval_basis_value(self.b_basis, r_ej)  # (c, n, m)
         # U_s = sum_j c[..., s + spin_j] a_e a_j b_e for s = 0, 1
@@ -186,7 +190,7 @@ class ThreeBodyJastrow:
         u_new = U[:, spin] - sub
         # old per-electron partials P_e at current positions
         d_full = positions[:, None, :, :] - positions[:, :, None, :]
-        d_full = self.geometry.minimal_image(d_full)
+        d_full = self._mi(d_full)
         r_full = jnp.sqrt(jnp.sum(d_full * d_full, axis=-1) + 1e-300)
         b_full = func3d.eval_basis_value(self.b_basis, r_full)
         chan = spin[:, None] + spin[None, :]

@@ -52,15 +52,29 @@ GROUND_SPIN = {
 }
 
 
-def _atom_scf(symbol, basis, ecp, spin):
+def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0):
+    """Atomic UHF robust against excited-state SCF minima: atomic cations
+    (and weak trial ECPs) can converge to aufbau-violating solutions (e.g.
+    B+ landing on 1s2 2p2); run a plain start and a level-shifted one and
+    keep the lower energy."""
     from .mole import Molecule
     from .scf import run_scf
 
     mol = Molecule(
         f"{symbol} 0 0 0", basis={symbol: basis},
-        ecp=None if ecp is None else {symbol: ecp}, spin=spin,
+        ecp=None if ecp is None else {symbol: ecp}, spin=spin, charge=charge,
     )
-    return mol, run_scf(mol)
+    best = None
+    for kws in ({}, {"level_shift": 0.5}):
+        try:
+            mf = run_scf(mol, integrals_cache=cache, conv_tol=1e-9, **kws)
+        except Exception:
+            continue
+        if np.isfinite(mf.e_tot) and (best is None or mf.e_tot < best.e_tot - 1e-9):
+            best = mf
+    if best is None:
+        raise RuntimeError(f"atomic SCF failed for {symbol} charge={charge}")
+    return mol, best
 
 
 def _mo_l_character(mol, mf):
@@ -112,7 +126,8 @@ def core_counts(ncore):
     }[ncore]
 
 
-def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None):
+def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
+                         charge=0):
     """All-electron UHF valence targets {l: [(eps, <r>), ...]} (every
     occupied valence level of each l, semicore included, innermost first)
     plus the core radius (largest <r> among core orbitals, used to set the
@@ -130,7 +145,7 @@ def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None):
             for l in range(lmax_val + 1)
             for k in range(n)
         ]
-    mol, mf = _atom_scf(symbol, sea, None, spin)
+    mol, mf = _atom_scf(symbol, sea, None, spin, charge=charge)
     l_of, purity = _mo_l_character(mol, mf)
     eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
     ncore_l = core_counts(ncore)
@@ -154,34 +169,38 @@ def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None):
     }
 
 
-def _local_entries(zeff, a1):
+def _local_entries(zeff, a1, a3=None, gamma=0.0):
     # pyscf rnExp convention: powers r^{n-2}; the -Zeff/r Coulomb tail is
-    # implicit. Constraints: n=1 coeff = Zeff, n=3 coeff = Zeff*a1.
+    # implicit. Constraints: n=1 coeff = Zeff, n=3 coeff = Zeff*a1 (the
+    # published-table transcription checks); the optional n=2 gamma
+    # gaussian is the extra local shape DOF every ccECP entry carries.
+    n2 = [] if gamma == 0.0 else [[a3 if a3 is not None else a1, gamma]]
     return [
-        [-1, [[], [[a1, zeff]], [], [[a1, zeff * a1]], [], [], []]],
+        [-1, [[], [[a1, zeff]], n2, [[a1, zeff * a1]], [], [], []]],
     ]
 
 
-def _assemble_ecp(ncore, zeff, a1, channels):
+def _assemble_ecp(ncore, zeff, a1, channels, a3=None, gamma=0.0):
     """pyscf-format [ncore, [[l, coeff-by-power blocks]...]] entry."""
-    entry = list(_local_entries(zeff, a1))
+    entry = list(_local_entries(zeff, a1, a3, gamma))
     for l, (b, c) in sorted(channels.items()):
         blocks = [[], [], [[b, c]], [], [], [], []]  # n=2 -> r^0 gaussian
         entry.append([l, blocks])
     return [ncore, entry]
 
 
-def _valence_sea(lmax, alpha0=0.028, beta=2.2, n=16, extra_l=()):
+def _valence_sea(lmax, alpha0=0.03, beta=2.4, n=12, extra_l=()):
     ls = list(range(lmax + 1)) + list(extra_l)
     return [[l, [alpha0 * beta**k, 1.0]] for l in ls for k in range(n)]
 
 
-def pseudo_atom_levels(symbol, ecp_entry, lmax_val, spin, sea=None):
+def pseudo_atom_levels(symbol, ecp_entry, lmax_val, spin, sea=None,
+                       cache=None):
     """{l: [(eps, <r>), ...]} of the pseudo-atom with a trial ECP
     (all occupied levels per l, innermost first)."""
     if sea is None:
         sea = _valence_sea(lmax_val)
-    mol, mf = _atom_scf(symbol, sea, ecp_entry, spin)
+    mol, mf = _atom_scf(symbol, sea, ecp_entry, spin, cache=cache)
     l_of, _ = _mo_l_character(mol, mf)
     eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
     out = {}
@@ -198,55 +217,94 @@ def pseudo_atom_levels(symbol, ecp_entry, lmax_val, spin, sea=None):
 def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
     """Fit a tpu1 pseudopotential; returns (pyscf entry, info dict).
 
-    Projector channels are created for every l with occupied valence
-    levels; the targets are ALL valence levels of that l (semicore
-    included): eigenvalues in Ha plus the outermost level's <r>
-    (relative). Channels without occupied levels (e.g. p for Na/Mg) fall
-    back to the local channel."""
+    Free parameters: the local shape (a1 with the two form-constrained
+    coefficients, plus a gamma gaussian at its own exponent a3 — the same
+    DOFs every published ccECP local channel has) and one (exponent,
+    coefficient) gaussian projector per l with occupied valence levels.
+    Targets: every NEUTRAL valence level's eigenvalue per l + the outermost
+    level's <r> (shape), plus energy consistency against the CATION — the
+    all-electron first ionization energy and the cation's valence
+    eigenvalues, all from this package's own UHF. Channels without
+    occupied levels (e.g. p for Na/Mg) fall back to the local channel."""
     import scipy.optimize
 
     Z = atomic_number(symbol)
     zeff = Z - ncore
     ae = all_electron_targets(symbol, ncore, lmax_val=lmax_val)
     spin = ae["spin"]
+    ion_spin = GROUND_SPIN.get(Z - 1, 0)
+    ae_ion = all_electron_targets(symbol, ncore, lmax_val=lmax_val,
+                                  spin=ion_spin, charge=1)
+    ip_ae = ae_ion["e_tot"] - ae["e_tot"]
     rc = max(ae["core_radius"], 0.05)
-    a1 = 2.0 / rc**2  # Coulomb turn-on at the core radius
     tl = sorted(ae["targets"])
+    tl_ion = sorted(ae_ion["targets"])
     sea = _valence_sea(lmax_val)
+    cache = {}  # one-electron/ERI integrals of the fixed sea, reused
 
     def unpack(x):
+        a1 = float(np.exp(x[0]))
+        a3 = float(np.exp(x[1]))
+        gamma = float(x[2])
         ch = {}
         for i, l in enumerate(tl):
-            ch[l] = (float(np.exp(x[2 * i])), float(np.exp(x[2 * i + 1])))
-        return ch
+            ch[l] = (float(np.exp(x[3 + 2 * i])),
+                     float(np.exp(x[4 + 2 * i])))
+        return a1, a3, gamma, ch
+
+    def levels_for(entry, sp, charge):
+        mol, mf = _atom_scf(symbol, sea, entry, sp, cache=cache,
+                            charge=charge)
+        l_of, _ = _mo_l_character(mol, mf)
+        eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
+        out = {}
+        for l in range(lmax_val + 1):
+            cols = sorted(
+                (c for c in range(len(l_of)) if l_of[c] == l),
+                key=lambda c: eps[c],
+            )
+            if cols:
+                out[l] = [
+                    (float(eps[c]), _radial_moment(mol, mf, c)) for c in cols
+                ]
+        return out, float(mf.e_tot)
 
     def residual(x):
-        entry = _assemble_ecp(ncore, zeff, a1, unpack(x))
-        try:
-            levels, _ = pseudo_atom_levels(symbol, entry, lmax_val, spin, sea)
-        except Exception:
-            levels = {}
+        a1, a3, gamma, ch = unpack(x)
+        entry = _assemble_ecp(ncore, zeff, a1, ch, a3, gamma)
         out = []
+        try:
+            levels, e0 = levels_for(entry, spin, 0)
+            levels_ion, e1 = levels_for(entry, ion_spin, 1)
+        except Exception:
+            nres = (sum(len(v) for v in ae["targets"].values())
+                    + len(tl) + 1 + len(tl_ion))
+            return np.full(nres, 10.0)
         for l in tl:
             want = ae["targets"][l]
             got = levels.get(l, [])
             for j, (e_ae, r_ae) in enumerate(want):
                 if j < len(got):
                     e_ps, r_ps = got[j]
-                    out.append(e_ps - e_ae)  # Ha
-                    if j == len(want) - 1:  # outermost level: shape too
-                        out.append((r_ps - r_ae) / r_ae)
+                    out.append(e_ps - e_ae)
+                    if j == len(want) - 1:
+                        out.append(0.5 * (r_ps - r_ae) / r_ae)
                 else:
                     out.append(10.0)
                     if j == len(want) - 1:
                         out.append(10.0)
+        # energy consistency: ionization energy (weight 2) + cation levels
+        out.append(2.0 * ((e1 - e0) - ip_ae))
+        for l in tl_ion:
+            e_ae_i, _ = ae_ion["targets"][l][-1]
+            got = levels_ion.get(l, [])
+            out.append(got[-1][0] - e_ae_i if got else 10.0)
         if verbose:
             print(f"  {symbol} resid {np.abs(np.asarray(out)).max():.5f}",
                   flush=True)
         return np.asarray(out)
 
-    # init: projector height ~ valence scale, width ~ core radius
-    x0 = []
+    x0 = [np.log(2.0 / rc**2), np.log(2.0 / rc**2), 0.0]
     for l in tl:
         x0.extend([np.log(1.5 / rc**2), np.log(max(zeff, 2.0))])
     x0 = np.asarray(x0)
@@ -255,14 +313,17 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
         method="lm" if len(residual(x0)) >= len(x0) else "trf",
         max_nfev=maxiter * max(len(x0), 1),
     )
-    entry = _assemble_ecp(ncore, zeff, a1, unpack(res.x))
-    levels, e_ps = pseudo_atom_levels(symbol, entry, lmax_val, spin, sea)
+    a1, a3, gamma, ch = unpack(res.x)
+    entry = _assemble_ecp(ncore, zeff, a1, ch, a3, gamma)
+    levels, e_ps = pseudo_atom_levels(symbol, entry, lmax_val, spin, sea,
+                                      cache=cache)
     info = {
         "ae_targets": ae["targets"],
         "pseudo_levels": levels,
         "a1": a1,
         "zeff": zeff,
         "spin": spin,
+        "ip_ae": ip_ae,
         "max_resid": float(np.abs(res.fun).max()),
         "e_pseudo": e_ps,
     }

@@ -73,18 +73,29 @@ def run_scf(
     level_shift: float = 0.0,
     guess_noise: float = 0.0,
     verbose: bool = False,
+    integrals_cache: Optional[dict] = None,
 ) -> MeanField:
-    """Run RHF (spin 0) or UHF."""
+    """Run RHF (spin 0) or UHF.
+
+    integrals_cache: a mutable dict reused across calls with the SAME
+    geometry/basis — overlap/kinetic/nuclear/ERI are computed once and
+    stored there. The ECP matrix is always rebuilt (the ECP generator
+    varies the pseudopotential at fixed basis, system/ecp_generate.py)."""
     if restricted is None:
         restricted = mol.spin == 0
-    S, T = integrals.overlap_kinetic(mol)
-    V = integrals.nuclear(mol)
+    if integrals_cache is not None and "ERI" in integrals_cache:
+        S, T, V, ERI = (integrals_cache[k] for k in ("S", "T", "V", "ERI"))
+    else:
+        S, T = integrals.overlap_kinetic(mol)
+        V = integrals.nuclear(mol)
+        ERI = integrals.eri(mol)
+        if integrals_cache is not None:
+            integrals_cache.update(S=S, T=T, V=V, ERI=ERI)
     H = T + V
     if getattr(mol, "ecp", None):
         from .ecp_integrals import ecp_matrix
 
         H = H + ecp_matrix(mol)
-    ERI = integrals.eri(mol)
     enuc = mol.nuclear_repulsion()
     nup, ndn = mol.nelec
 
