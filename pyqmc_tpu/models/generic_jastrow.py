@@ -1,23 +1,33 @@
-"""Generic exp(U) Jastrow from any pure U(params, positions) function, with
-all protocol derivatives supplied by autodiff — plus the two concrete
-instances the reference ships:
+"""Generic exp(U) pair Jastrow with O(1)-per-move cached updates, plus the
+two concrete instances the reference ships:
 
   * GeminalJastrow (pyqmc/wf/geminaljastrow.py:21-100):
         U = sum_{i<j} sum_{mn} g_mn chi_m(r_i) chi_n(r_j),  g symmetric
   * GPSJastrow (pyqmc/wf/gps2.py:4-139):
-        U = sum_{i<j} sum_s alpha_s exp(-f (|r_i - X_s0|^2 + |r_j - X_s1|^2))
-        (symmetrized over the pair), learnable alpha, f, X.
+        U = sum_{i<j} sum_s alpha_s (k0_i k1_j + k1_i k0_j),
+        k0_i = exp(-f |r_i - X_s0|^2)   (learnable alpha, f, X).
 
-The reference hand-codes caches and derivatives for each; here one wrapper
-derives testvalue/gradient/laplacian/pgradient from U via jax.grad and a
-3-point Hessian trace. One-electron moves re-evaluate only U terms involving
-that electron when the instance provides `u_e_terms`, else the full U (the
-dense O(N^2) evaluation is still one fused kernel on TPU).
+Both are bilinear pair forms
+
+    U = sum_{i<j} phi(r_i)^T A phi(r_j)
+      = 0.5 * ( S^T A S - sum_i phi_i^T A phi_i ),   S = sum_i phi(r_i),
+
+so the wavefunction state caches the per-electron feature rows phi_i and
+their sum S, and a one-electron move costs O(F) independent of nelec:
+
+    dU(e -> r') = (phi(r') - phi_e)^T A (S - phi_e).
+
+This is the TPU analogue of the reference GPS Jastrow's per-move kernel
+cache (pyqmc/wf/gps2.py:68-74) generalized to any bilinear pair kernel;
+derivatives come from autodiff through the single-point feature map only
+(gradient) and a 3-term forward-over-reverse Hessian diagonal (laplacian).
+Subclasses provide `features` and `bilinear` (A is never materialized when
+it is structured, as in GPS).
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -29,43 +39,62 @@ from ..ops.gto import GTOSpec, eval_gto
 class GenericJastrowState(NamedTuple):
     positions: jax.Array
     u: jax.Array
+    phi: jax.Array  # (nconf, nelec, F) per-electron feature rows
+    ssum: jax.Array  # (nconf, F) sum of feature rows
 
 
 class GenericJastrow:
-    """exp(U) wavefunction wrapper. Subclasses define u_total(params, pos)."""
+    """exp(U) wavefunction for U = sum_{i<j} phi(r_i)^T A phi(r_j).
+
+    Subclasses define `features(params, xyz)` mapping (..., 3) -> (..., F)
+    and `bilinear(params, u, v)` computing u^T A v over the last axis with
+    broadcasting (A symmetric).
+    """
 
     def __init__(self, nelec):
         self.nelec = nelec
 
-    def u_total(self, params, positions):  # (nconf, nelec, 3) -> (nconf,)
+    def features(self, params, xyz):  # (..., 3) -> (..., F)
+        raise NotImplementedError
+
+    def bilinear(self, params, u, v):  # (..., F),(..., F) -> (...)
         raise NotImplementedError
 
     def make_params(self):
         raise NotImplementedError
 
+    def u_total(self, params, positions):  # (nconf, nelec, 3) -> (nconf,)
+        phi = self.features(params, positions)
+        s = jnp.sum(phi, axis=1)
+        diag = jnp.sum(self.bilinear(params, phi, phi), axis=1)
+        return 0.5 * (self.bilinear(params, s, s) - diag)
+
     # --- protocol ----------------------------------------------------------
     def recompute(self, params, positions):
-        return GenericJastrowState(positions, self.u_total(params, positions))
+        phi = self.features(params, positions)
+        s = jnp.sum(phi, axis=1)
+        diag = jnp.sum(self.bilinear(params, phi, phi), axis=1)
+        u = 0.5 * (self.bilinear(params, s, s) - diag)
+        return GenericJastrowState(positions, u, phi, s)
 
     def value(self, params, state):
         return jnp.ones_like(state.u), state.u
 
-    def _u_with(self, params, positions, e, epos):
-        newpos = jnp.where(
-            (jnp.arange(self.nelec) == e)[None, :, None], epos[:, None, :], positions
-        )
-        return self.u_total(params, newpos)
+    def _rest(self, params, state, e):
+        """phi_e and S - phi_e for (traced) electron e."""
+        phi_e = jnp.take(state.phi, e, axis=1)  # (c, F)
+        return phi_e, state.ssum - phi_e
 
     def testvalue(self, params, state, e, epos):
-        if epos.ndim == 3:
-            u_new = jax.vmap(
-                lambda ep: self._u_with(params, state.positions, e, ep),
-                in_axes=1, out_axes=1,
-            )(epos)
-            du = u_new - state.u[:, None]
+        phi_e, rest = self._rest(params, state, e)
+        eph = self.features(params, epos)
+        if epos.ndim == 3:  # aux-point axis: (c, naip, 3)
+            du = self.bilinear(
+                params, eph - phi_e[:, None, :], rest[:, None, :]
+            )
         else:
-            du = self._u_with(params, state.positions, e, epos) - state.u
-        return jnp.exp(du), {"du": du}
+            du = self.bilinear(params, eph - phi_e, rest)
+        return jnp.exp(du), {"du": du, "phi": eph}
 
     def testvalue_many(self, params, state, epos):
         cols = []
@@ -74,27 +103,32 @@ class GenericJastrow:
             cols.append(r)
         return jnp.stack(cols, axis=1)
 
+    def _du_fn(self, params, state, e):
+        phi_e, rest = self._rest(params, state, e)
+
+        def du_of(ep):  # (c, 3) -> (c,)
+            return self.bilinear(params, self.features(params, ep) - phi_e, rest)
+
+        return du_of
+
     def gradient(self, params, state, e, epos):
-        g = jax.grad(
-            lambda ep: jnp.sum(self._u_with(params, state.positions, e, ep))
-        )(epos)
-        return g
+        du_of = self._du_fn(params, state, e)
+        return jax.grad(lambda ep: jnp.sum(du_of(ep)))(epos)
 
     def gradient_value(self, params, state, e, epos):
-        u_new = self._u_with(params, state.positions, e, epos)
-        g = self.gradient(params, state, e, epos)
-        du = u_new - state.u
-        return g, jnp.exp(du), {"du": du}
+        du_of = self._du_fn(params, state, e)
+        du = du_of(epos)
+        g = jax.grad(lambda ep: jnp.sum(du_of(ep)))(epos)
+        return g, jnp.exp(du), {"du": du, "phi": self.features(params, epos)}
 
     def gradient_laplacian(self, params, state, e, epos):
-        g = self.gradient(params, state, e, epos)
+        du_of = self._du_fn(params, state, e)
+        g = jax.grad(lambda ep: jnp.sum(du_of(ep)))(epos)
 
         # laplacian of U via 3 forward-over-reverse Hessian diagonal terms
         def du_axis(ax):
             def gax(ep):
-                return jax.grad(
-                    lambda p: jnp.sum(self._u_with(params, state.positions, e, p))
-                )(ep)[:, ax]
+                return jax.grad(lambda p: jnp.sum(du_of(p)))(ep)[:, ax]
 
             _, hvp = jax.jvp(
                 gax, (epos,), (jnp.zeros_like(epos).at[:, ax].set(1.0),)
@@ -106,11 +140,16 @@ class GenericJastrow:
 
     def updateinternals(self, params, state, e, epos, mask, saved):
         m = mask[:, None]
+        phi_e = jnp.take(state.phi, e, axis=1)
+        new_e = jnp.where(m, saved["phi"], phi_e)
         newpos = state.positions.at[:, e, :].set(
             jnp.where(m, epos, state.positions[:, e, :])
         )
         return GenericJastrowState(
-            newpos, jnp.where(mask, state.u + saved["du"], state.u)
+            newpos,
+            jnp.where(mask, state.u + saved["du"], state.u),
+            state.phi.at[:, e, :].set(new_e),
+            state.ssum + (new_e - phi_e),
         )
 
     def pgradient(self, params, positions):
@@ -129,14 +168,14 @@ class GeminalJastrow(GenericJastrow):
     def make_params(self):
         return {"gcoeff": jnp.zeros((self.nao, self.nao))}
 
-    def u_total(self, params, positions):
+    def features(self, params, xyz):
+        lead = xyz.shape[:-1]
+        chi = eval_gto(self.spec, xyz.reshape(-1, 3), 0)
+        return chi.reshape(*lead, self.nao)
+
+    def bilinear(self, params, u, v):
         g = 0.5 * (params["gcoeff"] + params["gcoeff"].T)
-        chi = eval_gto(self.spec, positions, 0)  # (c, n, nao)
-        # sum_{i<j} chi_i g chi_j = 0.5 (S g S - sum_i chi_i g chi_i)
-        s = jnp.sum(chi, axis=1)  # (c, nao)
-        total = jnp.einsum("cm,mn,cn->c", s, g, s)
-        diag = jnp.einsum("cim,mn,cin->c", chi, g, chi)
-        return 0.5 * (total - diag)
+        return jnp.einsum("...m,mn,...n->...", u, g, v)
 
 
 class GPSJastrow(GenericJastrow):
@@ -155,15 +194,16 @@ class GPSJastrow(GenericJastrow):
             "Xsupport": jnp.asarray(self._x0),
         }
 
-    def u_total(self, params, positions):
+    def features(self, params, xyz):
         X = params["Xsupport"]  # (s, 2, 3)
-        f = params["f"]
-        d0 = positions[:, :, None, :] - X[None, None, :, 0, :]  # (c, n, s, 3)
-        d1 = positions[:, :, None, :] - X[None, None, :, 1, :]
-        k0 = jnp.exp(-f * jnp.sum(d0 * d0, axis=-1))  # (c, n, s)
-        k1 = jnp.exp(-f * jnp.sum(d1 * d1, axis=-1))
-        # symmetrized pair kernel: sum_{i<j} (k0_i k1_j + k1_i k0_j)
-        s0 = jnp.sum(k0, axis=1)
-        s1 = jnp.sum(k1, axis=1)
-        cross = s0 * s1 - jnp.sum(k0 * k1, axis=1)  # sum_{i != j} k0_i k1_j
-        return jnp.einsum("cs,s->c", cross, params["alpha"])
+        d = xyz[..., None, None, :] - X  # (..., s, 2, 3)
+        k = jnp.exp(-params["f"] * jnp.sum(d * d, axis=-1))  # (..., s, 2)
+        return k.reshape(*xyz.shape[:-1], 2 * self.n_support)
+
+    def bilinear(self, params, u, v):
+        s = self.n_support
+        u = u.reshape(*u.shape[:-1], s, 2)
+        v = v.reshape(*v.shape[:-1], s, 2)
+        # pair kernel k0_i k1_j + k1_i k0_j, weighted by alpha
+        cross = u[..., 0] * v[..., 1] + u[..., 1] * v[..., 0]
+        return jnp.einsum("...s,s->...", cross, params["alpha"])

@@ -52,11 +52,13 @@ GROUND_SPIN = {
 }
 
 
-def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0):
+def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0, init_C=None):
     """Atomic UHF robust against excited-state SCF minima: atomic cations
     (and weak trial ECPs) can converge to aufbau-violating solutions (e.g.
-    B+ landing on 1s2 2p2); run a plain start and a level-shifted one and
-    keep the lower energy."""
+    B+ landing on 1s2 2p2 — the hydrogenic core guess leaves 2s/2p
+    degenerate). Runs a plain start, a level-shifted start, and optionally
+    an orbital-guess start (the converged neutral's MOs), keeping the
+    lowest converged energy."""
     from .mole import Molecule
     from .scf import run_scf
 
@@ -64,8 +66,11 @@ def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0):
         f"{symbol} 0 0 0", basis={symbol: basis},
         ecp=None if ecp is None else {symbol: ecp}, spin=spin, charge=charge,
     )
+    attempts = [{}, {"level_shift": 0.5}]
+    if init_C is not None:
+        attempts.insert(0, {"init_C": init_C})
     best = None
-    for kws in ({}, {"level_shift": 0.5}):
+    for kws in attempts:
         try:
             mf = run_scf(mol, integrals_cache=cache, conv_tol=1e-9, **kws)
         except Exception:
@@ -127,7 +132,7 @@ def core_counts(ncore):
 
 
 def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
-                         charge=0):
+                         charge=0, init_C=None):
     """All-electron UHF valence targets {l: [(eps, <r>), ...]} (every
     occupied valence level of each l, semicore included, innermost first)
     plus the core radius (largest <r> among core orbitals, used to set the
@@ -145,7 +150,8 @@ def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
             for l in range(lmax_val + 1)
             for k in range(n)
         ]
-    mol, mf = _atom_scf(symbol, sea, None, spin, charge=charge)
+    mol, mf = _atom_scf(symbol, sea, None, spin, charge=charge,
+                        init_C=init_C)
     l_of, purity = _mo_l_character(mol, mf)
     eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
     ncore_l = core_counts(ncore)
@@ -166,6 +172,7 @@ def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
         "core_radius": core_r,
         "e_tot": float(mf.e_tot),
         "spin": spin,
+        "mo_coeff": mf.mo_coeff,
     }
 
 
@@ -234,7 +241,8 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
     spin = ae["spin"]
     ion_spin = GROUND_SPIN.get(Z - 1, 0)
     ae_ion = all_electron_targets(symbol, ncore, lmax_val=lmax_val,
-                                  spin=ion_spin, charge=1)
+                                  spin=ion_spin, charge=1,
+                                  init_C=ae["mo_coeff"])
     ip_ae = ae_ion["e_tot"] - ae["e_tot"]
     rc = max(ae["core_radius"], 0.05)
     tl = sorted(ae["targets"])
@@ -248,13 +256,18 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
         gamma = float(x[2])
         ch = {}
         for i, l in enumerate(tl):
-            ch[l] = (float(np.exp(x[3 + 2 * i])),
-                     float(np.exp(x[4 + 2 * i])))
+            # exponent in log space (positive); coefficient SIGNED — a
+            # channel with no core orbitals of that l (e.g. p for a
+            # [He]-core atom) needs an attractive or near-zero projector,
+            # which an exp() parameterization cannot reach (the optimizer
+            # then parks the exponent at ~1e3 to neutralize the term and
+            # the channel can never be fit).
+            ch[l] = (float(np.exp(x[3 + 2 * i])), float(x[4 + 2 * i]))
         return a1, a3, gamma, ch
 
-    def levels_for(entry, sp, charge):
+    def levels_for(entry, sp, charge, init_C=None):
         mol, mf = _atom_scf(symbol, sea, entry, sp, cache=cache,
-                            charge=charge)
+                            charge=charge, init_C=init_C)
         l_of, _ = _mo_l_character(mol, mf)
         eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
         out = {}
@@ -267,15 +280,15 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
                 out[l] = [
                     (float(eps[c]), _radial_moment(mol, mf, c)) for c in cols
                 ]
-        return out, float(mf.e_tot)
+        return out, float(mf.e_tot), mf.mo_coeff
 
     def residual(x):
         a1, a3, gamma, ch = unpack(x)
         entry = _assemble_ecp(ncore, zeff, a1, ch, a3, gamma)
         out = []
         try:
-            levels, e0 = levels_for(entry, spin, 0)
-            levels_ion, e1 = levels_for(entry, ion_spin, 1)
+            levels, e0, c0 = levels_for(entry, spin, 0)
+            levels_ion, e1, _ = levels_for(entry, ion_spin, 1, init_C=c0)
         except Exception:
             nres = (sum(len(v) for v in ae["targets"].values())
                     + len(tl) + 1 + len(tl_ion))
@@ -304,13 +317,25 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
                   flush=True)
         return np.asarray(out)
 
+    ncore_l = core_counts(ncore)
     x0 = [np.log(2.0 / rc**2), np.log(2.0 / rc**2), 0.0]
+    lo = [np.log(0.05), np.log(0.05), -60.0]
+    hi = [np.log(200.0), np.log(200.0), 60.0]
     for l in tl:
-        x0.extend([np.log(1.5 / rc**2), np.log(max(zeff, 2.0))])
+        # repulsive start only where there are core orbitals to screen
+        c0 = float(max(zeff, 2.0)) if ncore_l.get(l, 0) else 1.0
+        x0.extend([np.log(1.5 / rc**2), c0])
+        lo.extend([np.log(0.05), -80.0])
+        hi.extend([np.log(80.0), 200.0])
     x0 = np.asarray(x0)
+    # diff_step well above SCF convergence noise: each residual entry is
+    # itself the output of an iterative solve converged to ~1e-9, so the
+    # default sqrt(eps) finite-difference step yields a noise jacobian.
+    # tolerances sized to the residual noise floor (SCF + quadrature,
+    # ~1e-4): the default 1e-8 burns hundreds of SCF evals on a plateau
     res = scipy.optimize.least_squares(
-        residual, x0,
-        method="lm" if len(residual(x0)) >= len(x0) else "trf",
+        residual, x0, method="trf", bounds=(np.asarray(lo), np.asarray(hi)),
+        diff_step=1e-3, xtol=3e-4, ftol=1e-5, gtol=1e-12,
         max_nfev=maxiter * max(len(x0), 1),
     )
     a1, a3, gamma, ch = unpack(res.x)

@@ -74,6 +74,7 @@ def run_scf(
     guess_noise: float = 0.0,
     verbose: bool = False,
     integrals_cache: Optional[dict] = None,
+    init_C: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> MeanField:
     """Run RHF (spin 0) or UHF.
 
@@ -106,6 +107,8 @@ def run_scf(
 
     e, C = _eigh_f(H, X)
     Cs = [C.copy(), C.copy()]
+    if init_C is not None:
+        Cs = [np.asarray(init_C[0]).copy(), np.asarray(init_C[1]).copy()]
     if guess_noise > 0:
         rng = np.random.default_rng(0)
         Cs[0] = C + guess_noise * rng.normal(size=C.shape)
