@@ -2,9 +2,12 @@
 
 Self-contained replacement for the published correlation-consistent ECP
 basis tables when exact digits are unavailable offline: run the pseudo-atom
-UHF in a large even-tempered primitive sea, contract each occupied-l channel
-with the atom's own HF radial function (ANO-style rank-1 contraction), and
-add uncontracted valence/polarization functions chosen variationally.
+UHF in a large even-tempered primitive sea, contract each occupied radial
+level of each l channel with the atom's own HF radial function (ANO-style
+rank-1 contraction per level, so e.g. Ti gets separate 3s and 4s
+contractions), free the outermost level's most diffuse significant
+primitive as an uncontracted second zeta, and add the supplied
+uncontracted polarization functions.
 
 The reference gets these tables from PySCF (e.g. pyqmc builds mol._basis
 via pyscf.gto.M, cf. /root/reference/pyqmc/pyscftools.py); its
@@ -26,40 +29,50 @@ def _pseudo_atom_scf(symbol: str, ecp, basis, spin: int):
     from .scf import run_scf
 
     mol = Molecule(f"{symbol} 0 0 0", basis={symbol: basis}, ecp=ecp, spin=spin)
-    return mol, run_scf(mol)
+    best = None
+    for kws in ({}, {"level_shift": 0.5}):
+        try:
+            mf = run_scf(mol, **kws)
+        except Exception:
+            continue
+        if np.isfinite(mf.e_tot) and (best is None or mf.e_tot < best.e_tot - 1e-9):
+            best = mf
+    if best is None:
+        raise RuntimeError(f"pseudo-atom SCF failed for {symbol}")
+    return mol, best
 
 
-def _occupied_radial(mol, mf, l: int) -> np.ndarray:
-    """Extract the occupied radial contraction for channel l.
+def _occupied_radials(mol, mf, l: int) -> List[np.ndarray]:
+    """Occupied radial contractions for channel l, innermost level first.
 
-    For a valence-only ECP atom each occupied l-channel is rank 1 (one
-    radial function), so any occupied MO that lives in the l block carries
-    the contraction coefficients (relative to unit-normalized primitives,
-    i.e. raw pyscf-format coefficients). Uses the alpha-spin solution.
+    For a valence ECP atom each occupied l level contributes one radial
+    function; degenerate m partners (l>0) share it. Groups occupied
+    alpha MOs that are >99% in the l block by eigenvalue and reads the
+    radial coefficients (relative to unit-normalized primitives, i.e. raw
+    pyscf-format coefficients) off the largest-norm m column.
     """
     shells = [sh for sh in mol.shells if sh.l == l]
     if any(len(sh.exps) != 1 for sh in shells):
         raise ValueError("sea basis must be uncontracted")
     nocc = mol.nelec[0]
     C = np.asarray(mf.mo_coeff[0])[:, :nocc]
-    # block rows for each m component of channel l
+    eps = np.asarray(mf.mo_energy[0])[:nocc]
     rows_by_m = [
         np.array([sh.ao_offset + m for sh in shells]) for m in range(2 * l + 1)
     ]
-    best = (0.0, None)
-    for col in range(nocc):
+    levels: List[Tuple[float, np.ndarray]] = []  # (eps, coeffs)
+    for col in np.argsort(eps):
         block_w = sum(float(np.sum(C[rows, col] ** 2)) for rows in rows_by_m)
         w = block_w / float(np.sum(C[:, col] ** 2))
-        if w > best[0]:
-            # a degenerate MO may mix m components, but the radial shape is
-            # shared (rank-1 in the radial index): read it off the m column
-            # with the largest norm
-            rows = max(rows_by_m, key=lambda r: float(np.sum(C[r, col] ** 2)))
-            best = (w, C[rows, col])
-    weight, coeffs = best
-    if coeffs is None or weight < 0.99:
-        raise RuntimeError(f"no pure l={l} occupied MO found (best weight {weight})")
-    return np.asarray(coeffs, dtype=np.float64)
+        if w < 0.99:
+            continue
+        if any(abs(eps[col] - e0) < 1e-6 for e0, _ in levels):
+            continue  # degenerate m partner of an already-collected level
+        rows = max(rows_by_m, key=lambda r: float(np.sum(C[r, col] ** 2)))
+        levels.append((float(eps[col]), np.asarray(C[rows, col], dtype=np.float64)))
+    if not levels:
+        raise RuntimeError(f"no pure l={l} occupied MO found")
+    return [c for _, c in levels]
 
 
 def even_tempered_sea(
@@ -76,37 +89,52 @@ def fit_atomic_valence_basis(
     occ_l: Sequence[int] = (0, 1),
     free_exps: Dict[int, Sequence[float]] | None = None,
     sea_kwargs: dict | None = None,
-    prune_below: float = 1e-5,
+    prune_below: float = 3e-4,
+    split_valence: bool = True,
 ) -> Tuple[list, dict]:
     """Build a DZ-quality contracted basis for an ECP pseudo-atom.
 
     Returns (raw pyscf-format basis list, info dict). The basis is one
-    HF-radial contraction per occupied l plus the supplied uncontracted
-    `free_exps` functions (e.g. {0: [0.26], 1: [0.16], 2: [1.2]}).
+    HF-radial contraction per occupied level of each occupied l, an
+    uncontracted second zeta per l (the outermost level's most diffuse
+    primitive with a significant coefficient) when `split_valence`, plus
+    the supplied uncontracted `free_exps` functions (e.g. {2: [1.2]}).
     Primitives whose contraction coefficient is below `prune_below`
-    (relative) are dropped to keep the GTO tables small.
+    (relative) are dropped to keep the GTO tables small; the info dict
+    reports the contracted-basis UHF energy against the sea energy so the
+    truncation cost is visible.
     """
     if spin is None:
+        from .ecp_generate import GROUND_SPIN
         from .elements import atomic_number
 
-        # Hund's-rule ground-state spin for main-group valence shells
-        spin = {1: 1, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1, 10: 0}.get(
-            atomic_number(symbol), 0
-        )
+        spin = GROUND_SPIN.get(atomic_number(symbol), 0)
     sea_kwargs = dict(sea_kwargs or {})
     sea = even_tempered_sea(list(occ_l), **sea_kwargs)
     mol, mf = _pseudo_atom_scf(symbol, ecp, sea, spin)
-    n_per_l = max(
-        sum(1 for sh in mol.shells if sh.l == l) for l in occ_l
-    )
     out = []
     for l in occ_l:
         exps = np.array([sh.exps[0] for sh in mol.shells if sh.l == l])
-        coeffs = _occupied_radial(mol, mf, l)
-        keep = np.abs(coeffs) >= prune_below * np.abs(coeffs).max()
-        out.append([l] + [[float(e), float(c)] for e, c in zip(exps[keep], coeffs[keep])])
-    for l, exps in sorted((free_exps or {}).items()):
-        for e in exps:
+        radials = _occupied_radials(mol, mf, l)
+        for coeffs in radials:
+            keep = np.abs(coeffs) >= prune_below * np.abs(coeffs).max()
+            out.append(
+                [l] + [[float(e), float(c)] for e, c in zip(exps[keep], coeffs[keep])]
+            )
+        if split_valence:
+            outer = radials[-1]
+            sig = np.abs(outer) >= 0.25 * np.abs(outer).max()
+            zeta2 = float(exps[sig].min())
+            out.append([l, [zeta2, 1.0]])
+    for l, fexps in sorted((free_exps or {}).items()):
+        for e in fexps:
             out.append([l, [float(e), 1.0]])
-    info = {"sea_e_tot": float(mf.e_tot), "spin": spin, "n_sea_per_l": n_per_l}
+    # truncation/contraction diagnostic: pseudo-atom UHF in the final basis
+    _, mf_c = _pseudo_atom_scf(symbol, ecp, out, spin)
+    info = {
+        "sea_e_tot": float(mf.e_tot),
+        "contracted_e_tot": float(mf_c.e_tot),
+        "basis_error": float(mf_c.e_tot - mf.e_tot),
+        "spin": spin,
+    }
     return out, info

@@ -51,6 +51,17 @@ GROUND_SPIN = {
     28: 2, 29: 1, 30: 0,
 }
 
+# 2S of the +1 cation where it differs from the Z-1 NEUTRAL atom's ground
+# state. p-block cations are isoelectronic AND isoconfigurational with the
+# Z-1 atom, so GROUND_SPIN[Z-1] is right there; 3d cations are not — the
+# 4s electron leaves and the d shell holds (Ti+ d2s1 4F, Cu+ d10 1S),
+# unlike the isoelectronic neutral (Sc d1s2 2D, Ni d8s2 3F).
+CATION_SPIN = {22: 3, 26: 5, 29: 0}
+
+
+def cation_spin(Z: int) -> int:
+    return CATION_SPIN.get(Z, GROUND_SPIN.get(Z - 1, 0))
+
 
 def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0, init_C=None):
     """Atomic UHF robust against excited-state SCF minima: atomic cations
@@ -132,7 +143,7 @@ def core_counts(ncore):
 
 
 def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
-                         charge=0, init_C=None):
+                         charge=0, init_C=None, cache=None):
     """All-electron UHF valence targets {l: [(eps, <r>), ...]} (every
     occupied valence level of each l, semicore included, innermost first)
     plus the core radius (largest <r> among core orbitals, used to set the
@@ -151,7 +162,7 @@ def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
             for k in range(n)
         ]
     mol, mf = _atom_scf(symbol, sea, None, spin, charge=charge,
-                        init_C=init_C)
+                        init_C=init_C, cache=cache)
     l_of, purity = _mo_l_character(mol, mf)
     eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
     ncore_l = core_counts(ncore)
@@ -237,12 +248,14 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
 
     Z = atomic_number(symbol)
     zeff = Z - ncore
-    ae = all_electron_targets(symbol, ncore, lmax_val=lmax_val)
+    ae_cache = {}  # S/T/V/ERI of the AE sea, shared neutral<->cation
+    ae = all_electron_targets(symbol, ncore, lmax_val=lmax_val,
+                              cache=ae_cache)
     spin = ae["spin"]
-    ion_spin = GROUND_SPIN.get(Z - 1, 0)
+    ion_spin = cation_spin(Z)
     ae_ion = all_electron_targets(symbol, ncore, lmax_val=lmax_val,
                                   spin=ion_spin, charge=1,
-                                  init_C=ae["mo_coeff"])
+                                  init_C=ae["mo_coeff"], cache=ae_cache)
     ip_ae = ae_ion["e_tot"] - ae["e_tot"]
     rc = max(ae["core_radius"], 0.05)
     tl = sorted(ae["targets"])
