@@ -344,11 +344,12 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
     # diff_step well above SCF convergence noise: each residual entry is
     # itself the output of an iterative solve converged to ~1e-9, so the
     # default sqrt(eps) finite-difference step yields a noise jacobian.
-    # tolerances sized to the residual noise floor (SCF + quadrature,
-    # ~1e-4): the default 1e-8 burns hundreds of SCF evals on a plateau
+    # tolerances sized to stop the flat converged tail (observed: ~half of
+    # a default-tolerance run's SCF evals sit on a <0.1 mHa plateau)
+    # without cutting the productive descent short
     res = scipy.optimize.least_squares(
         residual, x0, method="trf", bounds=(np.asarray(lo), np.asarray(hi)),
-        diff_step=1e-3, xtol=3e-4, ftol=1e-5, gtol=1e-12,
+        diff_step=1e-3, xtol=3e-5, ftol=3e-6, gtol=1e-12,
         max_nfev=maxiter * max(len(x0), 1),
     )
     a1, a3, gamma, ch = unpack(res.x)
