@@ -445,6 +445,19 @@ END
 
 ECP_LIBRARY = {"ccecp": parse_nwchem_ecp(_NWCHEM_CCECP)}
 
+# Generated "tpu1" library: ccECP-form pseudopotentials + DZ bases fitted
+# from scratch against this package's own all-electron UHF atoms
+# (system/ecp_generate.py / system/basis_fit.py; regenerate via
+# tools/generate_ecp_library.py + tools/assemble_tpu1.py). Gives every
+# fitted element an offline ECP where published digits are unavailable.
+try:
+    from .tpu1_library import TPU1_BASIS, TPU1_ECP_NWCHEM
+
+    ECP_LIBRARY["tpu1"] = parse_nwchem_ecp(TPU1_ECP_NWCHEM)
+    _BUILTIN["tpu1dz"] = dict(TPU1_BASIS)
+except ImportError:  # library not generated yet
+    pass
+
 
 def get_ecp(name, elements):
     """ECP lookup: name is a library key or a dict {el: pyscf-format ecp}."""
@@ -476,7 +489,8 @@ def get_basis(name, elements) -> Dict[str, List[Shell]]:
         return out
     key = name.lower().replace("_", "-").replace(" ", "")
     key = {"sto3g": "sto-3g", "631g": "6-31g", "ccpvdz": "ccpvdz",
-           "ccecpccpvdz": "ccecpccpvdz"}.get(key.replace("-", ""), key)
+           "ccecpccpvdz": "ccecpccpvdz",
+           "tpu1dz": "tpu1dz"}.get(key.replace("-", ""), key)
     if key not in _BUILTIN:
         raise KeyError(f"unknown built-in basis {name!r}; pass explicit data")
     table = _BUILTIN[key]
