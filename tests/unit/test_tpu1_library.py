@@ -74,11 +74,22 @@ def test_fit_quality(sym):
     assert abs(meta["basis_error"]) < 0.02, meta
 
 
-def test_scf_reproduces_fit_diagnostics():
+def _scf_check_elements():
+    """One representative per core class: lightest [He]-core, lightest
+    [Ne]-core, and the lightest d-valence (lmax=2) element present."""
+    reps = {}
+    for s in sorted(ELEMENTS, key=atomic_number):
+        ncore = tpu1.TPU1_META[s]["ncore"]
+        has_d = atomic_number(s) > 20  # Ti/Fe/Cu rows carry l=2 projectors
+        reps.setdefault((ncore, has_d), s)
+    return sorted(reps.values(), key=atomic_number)
+
+
+@pytest.mark.parametrize("sym", _scf_check_elements())
+def test_scf_reproduces_fit_diagnostics(sym):
     """Pseudo-atom UHF through the *registered* library reproduces the
     contracted energy recorded at fit time — catches any transcription or
     rendering drift between tools/tpu1_out and the committed module."""
-    sym = min(ELEMENTS, key=atomic_number)
     meta = tpu1.TPU1_META[sym]
     mol = Molecule(
         [(sym, (0.0, 0.0, 0.0))], basis="tpu1dz", ecp="tpu1",
