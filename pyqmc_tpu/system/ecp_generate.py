@@ -93,12 +93,13 @@ def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0, init_C=None):
     return mol, best
 
 
-def _mo_l_character(mol, mf):
+def _mo_l_character(mol, mf, ncols=None):
     """Per-MO dominant angular momentum and purity (alpha spin).
 
-    Returns (l_of_mo, purity) arrays over occupied alpha MOs. Atomic MOs
-    are symmetry-pure, so purity ~1."""
-    nocc = mol.nelec[0]
+    Returns (l_of_mo, purity) arrays over the first `ncols` alpha MOs
+    (default: the occupied ones). Atomic MOs are symmetry-pure, so
+    purity ~1."""
+    nocc = mol.nelec[0] if ncols is None else ncols
     C = np.asarray(mf.mo_coeff[0])[:, :nocc]
     lmax = max(sh.l for sh in mol.shells)
     weights = np.zeros((lmax + 1, nocc))
@@ -142,10 +143,57 @@ def core_counts(ncore):
     }[ncore]
 
 
+def _channel_levels(mol, mf, lmax_val, ncore_l=None):
+    """{l: [(eps, <r>), ...]} valence levels per channel (innermost first)
+    plus the core radius.
+
+    Occupied alpha MOs are classified by dominant l; per channel the first
+    ncore_l[l]*(2l+1) columns — ALL m-components of every core shell — are
+    dropped and their <r> folded into the returned core radius. A channel
+    l <= lmax_val left with NO occupied valence column falls back to the
+    LOWEST VIRTUAL level of that l (e.g. 3p for Na/Mg, 3s/3p for the bare
+    Na+ pseudo-ion): the alpha-Fock virtual eigenvalue is the
+    electron-attachment level of the same mean-field potential on both the
+    all-electron and pseudo sides, so matching it pins that channel's
+    scattering in the bonding energy range instead of leaving the channel
+    entirely to the local potential."""
+    nocc = mol.nelec[0]
+    nmo = np.asarray(mf.mo_coeff[0]).shape[1]
+    l_of, _ = _mo_l_character(mol, mf, ncols=nmo)
+    eps = np.asarray(mf.mo_energy[0])
+    ncore_l = ncore_l or {}
+    targets, core_r = {}, 0.0
+    for l in range(lmax_val + 1):
+        occ = sorted((c for c in range(nocc) if l_of[c] == l),
+                     key=lambda c: eps[c])
+        ncl = ncore_l.get(l, 0) * (2 * l + 1)
+        for c in occ[:ncl]:
+            core_r = max(core_r, _radial_moment(mol, mf, c))
+        val = occ[ncl:]
+        if not val:
+            # bound virtuals only: an unbound (eps >~ 0) lowest virtual is
+            # a finite-basis continuum artifact whose eigenvalue tracks the
+            # most diffuse exponent, not the potential — matching it across
+            # the different AE/valence seas would bias the channel. Bound
+            # attachment levels (Na+ 3s/3p, Mg+ 3p, Al+ 3p, Cu+ 4s)
+            # converge with basis and are exactly the one-electron levels a
+            # semilocal ECP should reproduce.
+            virt = sorted((c for c in range(nocc, nmo)
+                           if l_of[c] == l and eps[c] < -0.02),
+                          key=lambda c: eps[c])
+            val = virt[:1]
+        if val:
+            targets[l] = [
+                (float(eps[c]), _radial_moment(mol, mf, c)) for c in val
+            ]
+    return targets, core_r
+
+
 def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
                          charge=0, init_C=None, cache=None):
     """All-electron UHF valence targets {l: [(eps, <r>), ...]} (every
-    occupied valence level of each l, semicore included, innermost first)
+    occupied valence level of each l, semicore included, innermost first;
+    lowest-virtual fallback for channels with no occupied valence level)
     plus the core radius (largest <r> among core orbitals, used to set the
     local-channel turnover scale)."""
     Z = atomic_number(symbol)
@@ -163,21 +211,7 @@ def all_electron_targets(symbol, ncore, lmax_val=1, sea=None, spin=None,
         ]
     mol, mf = _atom_scf(symbol, sea, None, spin, charge=charge,
                         init_C=init_C, cache=cache)
-    l_of, purity = _mo_l_character(mol, mf)
-    eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
-    ncore_l = core_counts(ncore)
-    targets, core_r = {}, 0.0
-    for l in range(lmax_val + 1):
-        cols = [c for c in range(len(l_of)) if l_of[c] == l]
-        cols.sort(key=lambda c: eps[c])
-        ncl = ncore_l.get(l, 0)
-        for c in cols[:ncl]:
-            core_r = max(core_r, _radial_moment(mol, mf, c))
-        val = cols[ncl:]
-        if val:
-            targets[l] = [
-                (float(eps[c]), _radial_moment(mol, mf, c)) for c in val
-            ]
+    targets, core_r = _channel_levels(mol, mf, lmax_val, core_counts(ncore))
     return {
         "targets": targets,
         "core_radius": core_r,
@@ -219,16 +253,7 @@ def pseudo_atom_levels(symbol, ecp_entry, lmax_val, spin, sea=None,
     if sea is None:
         sea = _valence_sea(lmax_val)
     mol, mf = _atom_scf(symbol, sea, ecp_entry, spin, cache=cache)
-    l_of, _ = _mo_l_character(mol, mf)
-    eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
-    out = {}
-    for l in range(lmax_val + 1):
-        cols = [c for c in range(len(l_of)) if l_of[c] == l]
-        if cols:
-            cols.sort(key=lambda c: eps[c])
-            out[l] = [
-                (float(eps[c]), _radial_moment(mol, mf, c)) for c in cols
-            ]
+    out, _ = _channel_levels(mol, mf, lmax_val)
     return out, float(mf.e_tot)
 
 
@@ -260,6 +285,10 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
     rc = max(ae["core_radius"], 0.05)
     tl = sorted(ae["targets"])
     tl_ion = sorted(ae_ion["targets"])
+    # one projector per channel constrained by EITHER side: e.g. Na/Mg have
+    # no occupied/bound-virtual neutral p level, but the cation's bound 3p
+    # attachment level pins a p projector
+    cl = sorted(set(tl) | set(tl_ion))
     sea = _valence_sea(lmax_val)
     cache = {}  # one-electron/ERI integrals of the fixed sea, reused
 
@@ -268,7 +297,7 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
         a3 = float(np.exp(x[1]))
         gamma = float(x[2])
         ch = {}
-        for i, l in enumerate(tl):
+        for i, l in enumerate(cl):
             # exponent in log space (positive); coefficient SIGNED — a
             # channel with no core orbitals of that l (e.g. p for a
             # [He]-core atom) needs an attractive or near-zero projector,
@@ -281,18 +310,7 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
     def levels_for(entry, sp, charge, init_C=None):
         mol, mf = _atom_scf(symbol, sea, entry, sp, cache=cache,
                             charge=charge, init_C=init_C)
-        l_of, _ = _mo_l_character(mol, mf)
-        eps = np.asarray(mf.mo_energy[0])[: mol.nelec[0]]
-        out = {}
-        for l in range(lmax_val + 1):
-            cols = sorted(
-                (c for c in range(len(l_of)) if l_of[c] == l),
-                key=lambda c: eps[c],
-            )
-            if cols:
-                out[l] = [
-                    (float(eps[c]), _radial_moment(mol, mf, c)) for c in cols
-                ]
+        out, _ = _channel_levels(mol, mf, lmax_val)
         return out, float(mf.e_tot), mf.mo_coeff
 
     def residual(x):
@@ -334,7 +352,7 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
     x0 = [np.log(2.0 / rc**2), np.log(2.0 / rc**2), 0.0]
     lo = [np.log(0.05), np.log(0.05), -60.0]
     hi = [np.log(200.0), np.log(200.0), 60.0]
-    for l in tl:
+    for l in cl:
         # repulsive start only where there are core orbitals to screen
         c0 = float(max(zeff, 2.0)) if ncore_l.get(l, 0) else 1.0
         x0.extend([np.log(1.5 / rc**2), c0])
@@ -358,6 +376,7 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
                                       cache=cache)
     info = {
         "ae_targets": ae["targets"],
+        "ae_ion_targets": ae_ion["targets"],
         "pseudo_levels": levels,
         "a1": a1,
         "zeff": zeff,
