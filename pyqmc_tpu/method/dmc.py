@@ -39,9 +39,12 @@ def limdrift_umrigar(g, tau):
     return g * fac
 
 
-def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
-                   tdamp=None, tmoves=True, accumulators=None):
-    """tdamp=None (default) uses the per-walker effective-timestep ratio
+def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
+               tdamp=None, tmoves=True, accumulators=None):
+    """Raw (unjitted) DMC kernels: the propagation `block` and the comb
+    `branch`, shared by make_dmc_block and make_dmc_chain.
+
+    tdamp=None (default) uses the per-walker effective-timestep ratio
     r2_accepted / r2_proposed (dmc.py:192); pass a float to fix it."""
     axis = mesh.axis_names[0] if mesh is not None else None
     nelec = wf.nelec
@@ -259,6 +262,16 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
         idx = jnp.clip(jnp.searchsorted(cum, pts), 0, nconf - 1)
         return positions[idx], wrap[idx], jnp.full_like(weights, jnp.mean(weights))
 
+    return block, branch, axis
+
+
+def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
+                   tdamp=None, tmoves=True, accumulators=None):
+    """Jitted (block, branch) pair; see _dmc_parts for kernel semantics."""
+    block, branch, axis = _dmc_parts(
+        wf, energy_acc, geometry, tstep, nsteps, mesh=mesh, tdamp=tdamp,
+        tmoves=tmoves, accumulators=accumulators,
+    )
     if mesh is None:
         return jax.jit(block), jax.jit(branch)
 
@@ -282,6 +295,35 @@ def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
         )
     )
     return block_s, branch_s
+
+
+def make_popctrl_update(feedback, ewin):
+    """Jitted on-device population-control update.
+
+    The reference updates e_trial on the driver between blocks
+    (dmc.py:571-572), forcing a host sync every block. Here the windowed
+    energy history (`ring`, `nhist`), e_est, and the feedback
+    e_trial = e_est - feedback*log(<w>) are device scalars updated by this
+    tiny kernel between block dispatches, so consecutive blocks chain on
+    device and the host reads averages lag-1 (the same pipelining that
+    hides the ~25 ms host round-trip in method/vmc.py). Kept SEPARATE from
+    the propagation kernel: fusing it into the block made the axon backend
+    compile a ~6x slower executable (measured r3), while three small
+    dispatches are free — dispatch is async, only sync round-trips cost.
+    """
+
+    @jax.jit
+    def update(ring, nhist, eb, wavg):
+        dtype = ring.dtype
+        ring = ring.at[nhist % ewin].set(eb.astype(dtype))
+        nhist = nhist + 1
+        e_est = jnp.sum(ring) / jnp.minimum(nhist, ewin).astype(dtype)
+        e_trial = e_est - feedback * jnp.log(
+            jnp.maximum(wavg.astype(dtype), 1e-12)
+        )
+        return ring, nhist, e_trial, e_est
+
+    return update
 
 
 def rundmc(
@@ -400,46 +442,108 @@ def rundmc(
         wrap = jax.device_put(wrap, sh)
         weights = jax.device_put(weights, sh)
 
-    block_fn, branch_fn = make_dmc_block(
-        wf, energy_acc, configs.geometry, tstep, nsteps_per_block, mesh=mesh,
-        accumulators=accumulators,
-    )
-
     block_data = []
-    ehist = [] if restart is None else [e_est]
-    for b in range(block0, block0 + nblocks):
-        t0 = time.perf_counter()
-        key, bkey, brkey = jax.random.split(key, 3)
-        block_args = (
-            params, positions, wrap, weights,
-            bkey, jnp.asarray(e_trial, dtype), jnp.asarray(e_est, dtype),
-            jnp.asarray(esigma, dtype),
-        )
-        if profile_dir is not None and b == block0:
-            from ..utils.profiling import trace
 
-            with trace(profile_dir):
-                positions, wrap, weights, avg = block_fn(*block_args)
-        else:
-            positions, wrap, weights, avg = block_fn(*block_args)
-        avg = jax.tree.map(lambda x: np.asarray(x), avg)
+    def _finish(avg_dev, b, t0):
+        # jax.device_get issues the host copies for ALL leaves before
+        # blocking — one overlapped round trip instead of one ~30 ms
+        # round trip per leaf on the remote tunnel (measured 273 -> 38 ms)
+        avg = jax.device_get(avg_dev)
         avg["block time"] = time.perf_counter() - t0
-        wavg = float(avg["weight"])
-        ehist.append(float(avg["energytotal"]))
-        e_est = float(np.mean(ehist[-ewin:]))
-        e_trial = e_est - feedback * np.log(max(wavg, 1e-12))
-        avg["e_trial"] = e_trial
-        avg["e_est"] = e_est
         avg["block"] = b
         block_data.append(avg)
-        if (b + 1) % branchtime == 0:
-            positions, wrap, weights = branch_fn(positions, wrap, weights, brkey)
         if verbose and b % 10 == 0:
             print(
-                f"dmc block {b}: E={avg['energytotal']:.6f} "
-                f"w={wavg:.4f} e_trial={e_trial:.6f}", flush=True
+                f"dmc block {b}: E={float(avg['energytotal']):.6f} "
+                f"w={float(avg['weight']):.4f} "
+                f"e_trial={float(avg['e_trial']):.6f}", flush=True
             )
-        if hdf_file is not None:
+        return avg
+
+    if hdf_file is None:
+        # PIPELINED path: the propagation block, the tiny population-control
+        # update (windowed e_est + e_trial feedback), and the comb branching
+        # are all dispatched asynchronously with device-resident state, so
+        # block b+1 is enqueued before block b's averages are materialized —
+        # the host round-trip the reference pays every block
+        # (dmc.py:571-572) is hidden behind device compute, exactly as in
+        # method/vmc.py.
+        block_fn, branch_fn = make_dmc_block(
+            wf, energy_acc, configs.geometry, tstep, nsteps_per_block,
+            mesh=mesh, accumulators=accumulators,
+        )
+        popctrl = make_popctrl_update(feedback, ewin)
+        ring = jnp.zeros(ewin, dtype).at[0].set(jnp.asarray(e_est, dtype))
+        nhist = jnp.asarray(1, jnp.int32)
+        e_trial_d = jnp.asarray(e_trial, dtype)
+        e_est_d = jnp.asarray(e_est, dtype)
+        esigma_d = jnp.asarray(esigma, dtype)
+        pending = None
+        for b in range(block0, block0 + nblocks):
+            t0 = time.perf_counter()
+            key, bkey, brkey = jax.random.split(key, 3)
+            args = (params, positions, wrap, weights, bkey,
+                    e_trial_d, e_est_d, esigma_d)
+            if profile_dir is not None and b == block0:
+                from ..utils.profiling import trace
+
+                with trace(profile_dir):
+                    positions, wrap, weights, avg = block_fn(*args)
+            else:
+                positions, wrap, weights, avg = block_fn(*args)
+            ring, nhist, e_trial_d, e_est_d = popctrl(
+                ring, nhist, avg["energytotal"], avg["weight"]
+            )
+            avg = dict(avg)
+            avg["e_trial"] = e_trial_d
+            avg["e_est"] = e_est_d
+            if (b + 1) % branchtime == 0:
+                positions, wrap, weights = branch_fn(
+                    positions, wrap, weights, brkey
+                )
+            if pending is not None:
+                _finish(*pending)
+            pending = (avg, b, t0)
+        if pending is not None:
+            _finish(*pending)
+    else:
+        # SYNCHRONOUS path: every block's walkers/weights must reach the
+        # checkpoint, so feedback stays on the host (same formulas).
+        block_fn, branch_fn = make_dmc_block(
+            wf, energy_acc, configs.geometry, tstep, nsteps_per_block,
+            mesh=mesh, accumulators=accumulators,
+        )
+        # seed the window with the warmup/restart estimate — identical to the
+        # pipelined path's ring initialization, so both paths apply the same
+        # feedback sequence
+        ehist = [e_est]
+        for b in range(block0, block0 + nblocks):
+            t0 = time.perf_counter()
+            key, bkey, brkey = jax.random.split(key, 3)
+            block_args = (
+                params, positions, wrap, weights,
+                bkey, jnp.asarray(e_trial, dtype), jnp.asarray(e_est, dtype),
+                jnp.asarray(esigma, dtype),
+            )
+            if profile_dir is not None and b == block0:
+                from ..utils.profiling import trace
+
+                with trace(profile_dir):
+                    positions, wrap, weights, avg = block_fn(*block_args)
+            else:
+                positions, wrap, weights, avg = block_fn(*block_args)
+            wavg = float(np.asarray(avg["weight"]))
+            ehist.append(float(np.asarray(avg["energytotal"])))
+            e_est = float(np.mean(ehist[-ewin:]))
+            e_trial = e_est - feedback * np.log(max(wavg, 1e-12))
+            avg = dict(avg)
+            avg["e_trial"] = e_trial
+            avg["e_est"] = e_est
+            avg = _finish(avg, b, t0)
+            if (b + 1) % branchtime == 0:
+                positions, wrap, weights = branch_fn(
+                    positions, wrap, weights, brkey
+                )
             import h5py
             from .hdftools import append_hdf
 
@@ -453,7 +557,9 @@ def rundmc(
                 if "weights" in f:
                     f["weights"][...] = np.asarray(jax.device_get(weights))
                 else:
-                    f.create_dataset("weights", data=np.asarray(jax.device_get(weights)))
+                    f.create_dataset(
+                        "weights", data=np.asarray(jax.device_get(weights))
+                    )
                 f.attrs["esigma"] = esigma
 
     final = Configs.create(

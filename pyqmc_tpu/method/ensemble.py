@@ -195,9 +195,7 @@ def optimize_ensemble(
             if t is None:
                 continue
             gkey = jax.random.fold_in(gkey_base, k)
-            est = jax.tree.map(
-                np.asarray, gfn(tuple(params_list), positions, gkey)
-            )
+            est = jax.device_get(gfn(tuple(params_list), positions, gkey))
             # normalized lower-state overlaps need N_jj too
             for j in range(k):
                 est[f"njj_{j}"] = float(np.real(overlap[j, j]))

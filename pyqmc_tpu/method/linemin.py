@@ -67,10 +67,11 @@ def correlated_energies(sampler, params0, candidates, positions, key):
         la, eloc = sampler(cand, positions, key)
         w = jnp.exp(2.0 * (la - la0))
         w = w / jnp.mean(w)
-        e = jnp.mean(w * eloc) / jnp.mean(w)
-        ess = float(jnp.sum(w) ** 2 / (jnp.sum(w * w) * n))
-        out.append(float(e))
-        esses.append(ess)
+        out.append(jnp.mean(w * eloc) / jnp.mean(w))
+        esses.append(jnp.sum(w) ** 2 / (jnp.sum(w * w) * n))
+    # materialize all candidates in one overlapped host copy (per-scalar
+    # float() costs a ~30 ms round trip each on the remote tunnel)
+    out, esses = jax.device_get((out, esses))
     return np.asarray(out), np.asarray(esses)
 
 

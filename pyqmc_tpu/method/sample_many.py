@@ -198,7 +198,9 @@ def sample_overlap(wfs, params_list, configs, key, nblocks=10, nsteps=10,
     for b in range(nblocks):
         key, bkey = jax.random.split(key)
         positions, wrap, avg = block_fn(tuple(params_list), positions, wrap, bkey)
-        data.append(jax.tree.map(np.asarray, avg))
+        # one overlapped host copy for all leaves (vs ~30 ms/leaf on the
+        # remote tunnel if materialized one np.asarray at a time)
+        data.append(jax.device_get(avg))
     import dataclasses
 
     return data, dataclasses.replace(

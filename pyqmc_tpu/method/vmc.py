@@ -301,7 +301,10 @@ def vmc(
 
     def _flush(entry, t_end):
         b, avg_dev, t0 = entry
-        avg = jax.tree.map(lambda x: np.asarray(x), avg_dev)
+        # jax.device_get issues the host copies for ALL leaves before
+        # blocking — one overlapped round trip instead of one ~30 ms
+        # round trip per leaf on the remote tunnel (measured 273 -> 38 ms)
+        avg = jax.device_get(avg_dev)
         avg["block"] = b
         avg["block time"] = t_end - t0
         if phase_split is not None:

@@ -96,3 +96,32 @@ def test_dmc_sharded_matches_single():
     assert z < 4.0, res
     for name in res:
         assert abs(res[name][0] - (-0.5)) < max(5 * res[name][1], 0.005), res
+
+
+def test_dmc_pipelined_matches_synchronous():
+    """The hdf_file=None path runs population control on-device (lag-1
+    pipelined dispatch); with branching disabled the walker trajectories
+    must match the synchronous checkpointing path to f32 rounding."""
+    import os, tempfile
+
+    mol = Molecule("He 0 0 0", basis="sto-3g")
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    params = wf.make_params()
+    acc = EnergyAccumulator(mol)
+    kws = dict(nblocks=3, nsteps_per_block=4, tstep=0.02, energy_acc=acc,
+               warmup_vmc_blocks=2, branchtime=100)
+    configs = initial_guess(mol, 64, key=jax.random.PRNGKey(7))
+    d_pipe, _, _ = rundmc(wf, params, configs, key=jax.random.PRNGKey(8),
+                          **kws)
+    with tempfile.TemporaryDirectory() as td:
+        d_sync, _, _ = rundmc(
+            wf, params, configs, key=jax.random.PRNGKey(8),
+            hdf_file=os.path.join(td, "dmc.h5"), **kws)
+    e_pipe = np.array([d["energytotal"] for d in d_pipe])
+    e_sync = np.array([d["energytotal"] for d in d_sync])
+    np.testing.assert_allclose(e_pipe, e_sync, rtol=2e-4)
+    # the on-device feedback must track the host-side formula
+    t_pipe = np.array([d["e_trial"] for d in d_pipe], dtype=float)
+    t_sync = np.array([d["e_trial"] for d in d_sync], dtype=float)
+    np.testing.assert_allclose(t_pipe, t_sync, atol=2e-3)
