@@ -50,6 +50,12 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
     nelec = wf.nelec
     ecp_acc = getattr(energy_acc, "ecp_acc", None)
     do_tmoves = tmoves and ecp_acc is not None and ecp_acc.active
+    # drift at the CURRENT position: cached-orbital contraction when the
+    # wavefunction maintains one (Slater), full evaluation otherwise
+    grad_current = getattr(
+        wf, "gradient_current",
+        lambda params, state, e, epos: wf.gradient(params, state, e, epos),
+    )
 
     def tmove_sweep(params, positions, wrap, state, stepkey):
         """Anderson-Casula size-consistent T-moves (dmc.py:73-120,168-176):
@@ -100,7 +106,10 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             )[:, 0, :]
             newpos, wrapdelta = geometry.enforce(newpos)
             newpos = jnp.where(accept[:, None], newpos, positions[:, e, :])
-            _, saved = wf.testvalue(params, state, e, newpos)
+            # gradient_value (not testvalue) so `saved` carries the MO
+            # gradients the Slater orbital cache needs — otherwise
+            # updateinternals pays a second AO evaluation
+            _, _, saved = wf.gradient_value(params, state, e, newpos)
             state = wf.updateinternals(params, state, e, newpos, accept, saved)
             positions = positions.at[:, e, :].set(newpos)
             wrap = wrap.at[:, e, :].set(
@@ -132,7 +141,7 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             k1 = jax.random.fold_in(stepkey, 2 * e)
             k2 = jax.random.fold_in(stepkey, 2 * e + 1)
             epos = positions[:, e, :]
-            grad_old = wf.gradient(params, state, e, epos)
+            grad_old = grad_current(params, state, e, epos)
             drift_old = limdrift_umrigar(grad_old, tstep)
             gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
             prop = epos + gauss + tstep * drift_old

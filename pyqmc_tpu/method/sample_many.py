@@ -66,7 +66,11 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
             wnorm = jnp.abs(a) ** 2 / rho  # (nwf, nconf)
             grads = []
             for wf, p, s in zip(wfs, params_list, states):
-                grads.append(jnp.real(wf.gradient(p, s, e, epos)))
+                if hasattr(wf, "gradient_current"):
+                    g = wf.gradient_current(p, s, e, epos)
+                else:
+                    g = wf.gradient(p, s, e, epos)
+                grads.append(jnp.real(g))
             drift = limdrift(
                 sum(wnorm[i][:, None] * grads[i] for i in range(nwf))
             )

@@ -56,6 +56,12 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
     nelec = wf.nelec
     accumulators = accumulators or {}
     axis = mesh.axis_names[0] if mesh is not None else None
+    # drift at the CURRENT position: cached-orbital contraction when the
+    # wavefunction maintains one (Slater), full evaluation otherwise
+    grad_current = getattr(
+        wf, "gradient_current",
+        lambda params, state, e, epos: wf.gradient(params, state, e, epos),
+    )
 
     def sweep(params, positions, wrap, state, stepkey):
         nconf = positions.shape[0]
@@ -66,7 +72,7 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
             k1 = jax.random.fold_in(stepkey, 2 * e)
             k2 = jax.random.fold_in(stepkey, 2 * e + 1)
             epos = positions[:, e, :]
-            grad_old = wf.gradient(params, state, e, epos)
+            grad_old = grad_current(params, state, e, epos)
             drift_old = limdrift(grad_old, drift_cutoff)
             gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
             prop = epos + gauss + tstep * drift_old

@@ -96,6 +96,21 @@ class AddWF:
         g, _, _ = self.gradient_value(params, state, e, epos)
         return g
 
+    def gradient_current(self, params, state, e, epos):
+        """grad log Psi at electron e's CURRENT position: each component's
+        testvalue ratio at its own position is exactly 1, so the amplitude
+        weights w_i alone combine the cached component gradients."""
+        w, denom, _ = self._amplitudes(params, state)
+        num_g = None
+        for i, (wf, p, s) in enumerate(zip(self.wfs, self._split(params), state)):
+            if hasattr(wf, "gradient_current"):
+                g = wf.gradient_current(p, s, e, epos)
+            else:
+                g = wf.gradient(p, s, e, epos)
+            gc = w[i][:, None] * g
+            num_g = gc if num_g is None else num_g + gc
+        return num_g / denom[:, None]
+
     def gradient_laplacian(self, params, state, e, epos):
         w, denom, _ = self._amplitudes(params, state)
         num_r, num_g, num_l = None, None, None

@@ -99,6 +99,19 @@ class MultiplyWF:
             g = gi if g is None else g + gi
         return g
 
+    def gradient_current(self, params, state, e, epos):
+        """grad log Psi at electron e's current position `epos`; factors
+        with an orbital cache (Slater.gradient_current) skip their AO
+        evaluation, the rest evaluate at epos."""
+        g = None
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            if hasattr(w, "gradient_current"):
+                gi = w.gradient_current(p, s, e, epos)
+            else:
+                gi = w.gradient(p, s, e, epos)
+            g = gi if g is None else g + gi
+        return g
+
     def gradient_value_pair(self, params, state, e, epos_old, epos_new):
         go, gn, ratio, saved = None, None, None, []
         for w, p, s in zip(self.wfs, self._split(params), state):

@@ -39,6 +39,14 @@ class SlaterState(NamedTuple):
     logdet_up: jax.Array
     phase_dn: jax.Array
     logdet_dn: jax.Array
+    # cached per-electron orbital values+gradients at each electron's
+    # CURRENT position, slot 0 = value, 1:4 = gradient. Maintained by
+    # recompute/updateinternals so the Metropolis sweep's drift at the
+    # current position (gradient_current) costs a small contraction
+    # instead of a full AO evaluation (the reference re-evaluates the
+    # orbitals for the old-position drift every move, mc.py:112-124).
+    mog_up: jax.Array  # (nconf, nup, 4, norb_up)
+    mog_dn: jax.Array  # (nconf, ndn, 4, norb_dn)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,8 +159,9 @@ class Slater:
 
     # --- protocol ---------------------------------------------------------
     def recompute(self, params, positions):
-        nconf = positions.shape[0]
-        mo_up_all, mo_dn_all = self.orbitals.eval(params, positions, 0)
+        mo_up_all, mo_dn_all, gmo_up_all, gmo_dn_all = self.orbitals.eval(
+            params, positions, 1
+        )
         mo_up = mo_up_all[:, : self.nup]
         mo_dn = mo_dn_all[:, self.nup :]
         m_up = self._det_matrices(mo_up, self.expansion.occ_up)
@@ -162,6 +171,12 @@ class Slater:
         return SlaterState(
             inv_up=iu, inv_dn=idn, phase_up=pu, logdet_up=lu,
             phase_dn=pd, logdet_dn=ld,
+            mog_up=jnp.concatenate(
+                [mo_up[:, :, None, :], gmo_up_all[:, : self.nup]], axis=2
+            ),
+            mog_dn=jnp.concatenate(
+                [mo_dn[:, :, None, :], gmo_dn_all[:, self.nup :]], axis=2
+            ),
         )
 
     def value(self, params, state):
@@ -243,12 +258,27 @@ class Slater:
         # gmo has shape (nconf, 3, norb): _ratio_terms treats axis 1 as aux
         gratio = self._ratio_terms(params, state, e, gmo_up, gmo_dn)
         grad = gratio / ratio[:, None]
-        saved = {"mo_up": mo_up, "mo_dn": mo_dn}
+        saved = {"mo_up": mo_up, "mo_dn": mo_dn,
+                 "gmo_up": gmo_up, "gmo_dn": gmo_dn}
         return grad, ratio, saved
 
     def gradient(self, params, state, e, epos):
         g, _, _ = self.gradient_value(params, state, e, epos)
         return g
+
+    def gradient_current(self, params, state, e, epos=None):
+        """grad log psi of electron e at its CURRENT position, read from the
+        state's orbital cache — a det-ratio contraction, no AO evaluation.
+        `epos` (electron e's current position) is accepted for protocol
+        uniformity and unused. Equals gradient(params, state, e, positions
+        [:, e]) to cache/Sherman-Morrison rounding."""
+        _, row_up, row_dn = self._spin_row(e)
+        # _ratio_terms statically ignores the empty-spin array (nup==0 or
+        # ndn==0), so None is safe there
+        mo4_up = state.mog_up[:, row_up] if self.nup > 0 else None
+        mo4_dn = state.mog_dn[:, row_dn] if self.ndn > 0 else None
+        r = self._ratio_terms(params, state, e, mo4_up, mo4_dn)  # (nconf, 4)
+        return r[:, 1:4] / r[:, 0:1]
 
     def gradient_value_pair(self, params, state, e, epos_old, epos_new):
         """Fused old/new evaluation for the Metropolis sweep: one AO pass
@@ -268,7 +298,8 @@ class Slater:
         grad_old = gr[:, 0] / r[:, 0, None]
         grad_new = gr[:, 1] / r[:, 1, None]
         ratio = r[:, 1] / r[:, 0]
-        saved = {"mo_up": mo_up[:, 1], "mo_dn": mo_dn[:, 1]}
+        saved = {"mo_up": mo_up[:, 1], "mo_dn": mo_dn[:, 1],
+                 "gmo_up": gmo_up[:, 1], "gmo_dn": gmo_dn[:, 1]}
         return grad_old, grad_new, ratio, saved
 
     def gradient_laplacian(self, params, state, e, epos):
@@ -282,8 +313,25 @@ class Slater:
         return gratio / ratio[:, None], lratio / ratio
 
     def updateinternals(self, params, state, e, epos, mask, saved):
-        """Sherman-Morrison update after an accepted single-electron move."""
+        """Sherman-Morrison update after an accepted single-electron move.
+
+        Also maintains the per-electron orbital value/gradient cache
+        (gradient_current). If `saved` came from gradient_value(_pair) it
+        already carries the new position's MO gradients; a testvalue-only
+        `saved` (e.g. heat-bath T-moves) triggers one AO re-evaluation here
+        — callers on hot paths should move electrons through
+        gradient_value so the cache update is free."""
         pred, row_up, row_dn = self._spin_row(e)
+
+        if "gmo_up" in saved:
+            cmo_up, cmo_dn = saved["mo_up"], saved["mo_dn"]
+            cgmo_up, cgmo_dn = saved["gmo_up"], saved["gmo_dn"]
+        else:
+            cmo_up, cmo_dn, cgmo_up, cgmo_dn = self.orbitals.eval(
+                params, epos, 1
+            )
+        new4_up = jnp.concatenate([cmo_up[:, None, :], cgmo_up], axis=1)
+        new4_dn = jnp.concatenate([cmo_dn[:, None, :], cgmo_dn], axis=1)
 
         def upd(inv, phase, logdet, occ, mo_new, row):
             nd, n = occ.shape
@@ -302,10 +350,14 @@ class Slater:
                 self.expansion.occ_up, saved["mo_up"], row_up,
             )
             m = mask[:, None]
+            row = jnp.where(
+                mask[:, None, None], new4_up, st.mog_up[:, row_up]
+            )
             return st._replace(
                 inv_up=jnp.where(m[..., None, None], inv_new, st.inv_up),
                 phase_up=jnp.where(m, ph, st.phase_up),
                 logdet_up=jnp.where(m, ld, st.logdet_up),
+                mog_up=st.mog_up.at[:, row_up].set(row),
             )
 
         def dn_branch(st):
@@ -314,10 +366,14 @@ class Slater:
                 self.expansion.occ_dn, saved["mo_dn"], row_dn,
             )
             m = mask[:, None]
+            row = jnp.where(
+                mask[:, None, None], new4_dn, st.mog_dn[:, row_dn]
+            )
             return st._replace(
                 inv_dn=jnp.where(m[..., None, None], inv_new, st.inv_dn),
                 phase_dn=jnp.where(m, ph, st.phase_dn),
                 logdet_dn=jnp.where(m, ld, st.logdet_dn),
+                mog_dn=st.mog_dn.at[:, row_dn].set(row),
             )
 
         if self.ndn == 0:

@@ -103,6 +103,44 @@ def test_gradient_value_pair(wf, params, configs, key, tol=1e-10):
         )
 
 
+def test_gradient_current(wf, params, configs, key, tol=1e-6):
+    """gradient_current (cached-orbital drift) must match gradient at each
+    electron's current position, both from a fresh recompute and after a
+    sequence of accepted/rejected updateinternals moves."""
+    pos = configs.positions
+    nconf, nelec = pos.shape[:2]
+    state = wf.recompute(params, pos)
+
+    def check(state, pos, tag):
+        for e in range(nelec):
+            ei = jnp.int32(e)
+            epos = pos[:, e, :]
+            gc = wf.gradient_current(params, state, ei, epos)
+            gref = wf.gradient(params, state, ei, epos)
+            err = float(jnp.max(jnp.abs(gc - gref)))
+            assert err < tol * (1 + float(jnp.max(jnp.abs(gref)))), (
+                f"gradient_current mismatch {tag} e={e}: {err}"
+            )
+
+    check(state, pos, "fresh")
+    # move half the walkers for a few electrons through gradient_value +
+    # updateinternals (the hot-path cache maintenance)
+    for e in range(min(nelec, 3)):
+        key, k1 = jax.random.split(key)
+        ei = jnp.int32(e)
+        newpos = pos[:, e, :] + 0.3 * jax.random.normal(
+            k1, (nconf, 3), dtype=pos.dtype
+        )
+        newpos, _ = configs.make_irreducible(newpos)
+        _, _, saved = wf.gradient_value(params, state, ei, newpos)
+        mask = jnp.arange(nconf) % 2 == 0
+        state = wf.updateinternals(params, state, ei, newpos, mask, saved)
+        pos = pos.at[:, e, :].set(
+            jnp.where(mask[:, None], newpos, pos[:, e, :])
+        )
+    check(state, pos, "after updates")
+
+
 def test_gradient(wf, params, configs, key, delta=1e-5, tol=1e-5):
     """grad log psi vs finite differences (testwf.py:149-185)."""
     pos = configs.positions
@@ -206,6 +244,8 @@ def run_all(wf, params, configs, key, tols=()):
         test_testvalue_many(wf, params, configs, key)
     if hasattr(wf, "gradient_value_pair"):
         test_gradient_value_pair(wf, params, configs, key)
+    if hasattr(wf, "gradient_current"):
+        test_gradient_current(wf, params, configs, key)
     test_gradient(wf, params, configs, key)
     test_gradient_laplacian(wf, params, configs, key)
     test_pgradient(wf, params, configs, key)
