@@ -217,8 +217,8 @@ def _parse_ecp(mol) -> List[_AtomECP]:
 class ECPAccumulator:
     """ecp(wf, params, state, positions, key) -> per-walker ECP energy."""
 
-    def __init__(self, mol, naip: int = None, rmax: float = 10.0, nselect=None,
-                 echunk="auto"):
+    def __init__(self, mol, naip: int = None, rmax: float = 10.0,
+                 nselect="auto", echunk="auto"):
         """naip: angular quadrature size (6/12/18/26/32/50). None picks the
         reference's default (eval_ecp.py:239-240): 12 when any atom carries
         more than one nonlocal channel, else 6.
@@ -228,6 +228,14 @@ class ECPAccumulator:
         |T_q|-largest nselect//2 points are kept deterministically, the rest
         sampled with replacement with p ~ |T_q| and reweighted (unbiased).
         None = dense evaluation of all natoms_ecp * naip points.
+        "auto" (default) = dense for small systems, capped at 4 atoms'
+        worth of points per electron for many-atom systems — the static
+        analog of the stochastic per-(electron, atom) masking the
+        reference's energy accumulator applies BY DEFAULT
+        (accumulators.py:48 threshold=10, eval_ecp.py:135-146): nonlocal
+        channels decay within a few bohr, so in a solid only an electron's
+        nearest atoms carry |T| mass; everything else is importance-sampled
+        (unbiased, test_downselection_unbiased).
 
         echunk: electrons vmapped per batch in the nonlocal sweep (one
         fused orbital evaluation over nconf * echunk * nq points instead of
@@ -279,6 +287,9 @@ class ECPAccumulator:
         self.nq_total = sum(atom_naip)
         self.nelec = sum(mol.nelec)
         self.rmax = rmax  # beyond this the nonlocal projection is negligible
+        if nselect == "auto":
+            cap = 4 * max(atom_naip, default=0)
+            nselect = None if self.nq_total <= cap else cap
         self.nselect = nselect
         self.echunk = echunk
 
@@ -478,7 +489,8 @@ class ECPAccumulator:
             # all 8 electrons (the fast setting measured on v5e) while the
             # diamond supercell (500 walkers, nq 96, 27-image k-point AO
             # eval) gets chunks of 5 instead of an OOM
-            chunk = max(1, 262144 // max(nconf * self.nq_total, 1))
+            npts = self.nselect if self.nselect else self.nq_total
+            chunk = max(1, 262144 // max(nconf * npts, 1))
         if chunk is None or chunk >= self.nelec:
             re_all, im_all = jax.vmap(one)(es, keys)  # (ne, c)
             nl, nl_im = jnp.sum(re_all, axis=0), jnp.sum(im_all, axis=0)

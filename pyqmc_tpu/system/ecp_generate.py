@@ -399,5 +399,8 @@ def to_nwchem(symbol, entry) -> str:
         lines.append(f"{symbol} {tag}")
         for n, terms in enumerate(powers):
             for alpha, c in terms:
-                lines.append(f"{n} {alpha:.8f} {c:.8f}")
+                # 12 significant digits: the ccECP local-form identity
+                # c(r^1) = Zeff * alpha must survive rendering to rtol 1e-10
+                # even for Zeff*alpha ~ O(10) (8 fixed decimals did not)
+                lines.append(f"{n} {alpha:.12g} {c:.12g}")
     return "\n".join(lines)

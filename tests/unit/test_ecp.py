@@ -234,3 +234,23 @@ def test_per_atom_naip():
     # quadrature error between the 6- and 12-point grids
     np.testing.assert_allclose(e_auto, e_12, atol=2e-2)
     assert np.max(np.abs(e_auto)) > 1e-3
+
+
+def test_nselect_auto_rule():
+    """Default nselect='auto': dense for small systems (H2O: one 6-point
+    atom), capped at 4 atoms' worth of points for many-atom systems (the
+    static analog of the reference's default stochastic ECP masking)."""
+    h2o = Molecule(
+        "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+        basis="ccecpccpvdz", ecp="ccecp",
+    )
+    acc = ECPAccumulator(h2o)
+    assert acc.nselect is None and acc.nq_total == 6
+    atoms = "; ".join(
+        f"C {3.0*i} {3.0*j} 0" for i in range(4) for j in range(4)
+    )
+    c16 = Molecule(atoms, basis="ccecpccpvdz", ecp="ccecp", spin=0)
+    acc16 = ECPAccumulator(c16, naip=6)
+    assert acc16.nq_total == 96 and acc16.nselect == 24
+    dense16 = ECPAccumulator(c16, naip=6, nselect=None)
+    assert dense16.nselect is None

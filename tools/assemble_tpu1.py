@@ -69,9 +69,15 @@ def main():
     nwchem_parts = ["ECP"]
     basis_parts = []
     meta_parts = []
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    from pyqmc_tpu.system.ecp_generate import to_nwchem
+
     for s in symbols:
         r = records[s]
-        nwchem_parts.append(r["nwchem"])
+        # re-render from the full-precision entry (the text stored in the
+        # JSON was rendered at fit time with whatever precision to_nwchem
+        # had then; the entry itself is exact)
+        nwchem_parts.append(to_nwchem(s, r["entry"]))
         basis_parts.append(f'    "{s}": [\n{fmt_basis(r["basis"])}\n    ],')
         ei = r["ecp_info"]
         bi = r["basis_info"]
