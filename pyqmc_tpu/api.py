@@ -16,7 +16,7 @@ from .models.orbitals import MolecularOrbitals, KPointOrbitals
 from .models.slater_embedded import EmbeddedKSlater
 from .models.slater_pair import PairKSlater
 from .method.twist_average import twist_average_vmc, build_twist_wf
-from .observables.accumulators import EnergyAccumulator
+from .observables.accumulators import EnergyAccumulator, gradient_generator
 from .observables.ecp import ECPAccumulator
 from .observables.ewald import Ewald
 from .observables.obdm import OBDMAccumulator, KOBDMAccumulator
@@ -50,6 +50,8 @@ from .wftools import (
     generate_gps_jastrow,
     generate_geminal_jastrow,
     read_superposition,
+    save_wf_params,
+    read_wf_params,
 )
-from .recipes import OPTIMIZE, VMC, DMC, read_mc_output
+from .recipes import OPTIMIZE, VMC, DMC, read_mc_output, read_opt
 from .reblock import reblock, reblock_by2, opt_block, reblock_summary

@@ -56,28 +56,36 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
     nelec = wf.nelec
     accumulators = accumulators or {}
     axis = mesh.axis_names[0] if mesh is not None else None
-    # drift at the CURRENT position: cached-orbital contraction when the
-    # wavefunction maintains one (Slater), full evaluation otherwise
-    grad_current = getattr(
-        wf, "gradient_current",
-        lambda params, state, e, epos: wf.gradient(params, state, e, epos),
-    )
+    # two-half move protocol: begin(old) -> (grad_old, aux),
+    # finish(new, aux) -> (grad_new, ratio, saved). Slater reads its orbital
+    # cache in begin (no AO eval); Jastrows reuse begin's u_old in finish so
+    # the old-position terms are evaluated once per move, not three times.
+    from ..models.multiply import default_move_begin, default_move_finish
 
-    def sweep(params, positions, wrap, state, stepkey):
-        nconf = positions.shape[0]
+    def move_begin(params, state, e, epos):
+        return default_move_begin(wf, params, state, e, epos)
+
+    def move_finish(params, state, e, epos, aux):
+        return default_move_finish(wf, params, state, e, epos, aux)
+
+    def sweep(params, positions, wrap, state, gauss_step, unif_step):
+        # gauss_step (nelec, nconf, 3) pre-scaled by sqrt(tstep);
+        # unif_step (nelec, nconf). All randomness is generated OUTSIDE the
+        # electron loop in one batched draw per block: per-move
+        # jax.random.fold_in/normal/uniform compile to ~245 unfused scalar
+        # threefry HLO ops per move — measured as ~2/3 of all device ops in
+        # the block (the dispatch-bound ceiling BENCH_r02 profiled).
         dtype = positions.dtype
 
         def ebody(e, carry):
             positions, wrap, state, acc = carry
-            k1 = jax.random.fold_in(stepkey, 2 * e)
-            k2 = jax.random.fold_in(stepkey, 2 * e + 1)
             epos = positions[:, e, :]
-            grad_old = grad_current(params, state, e, epos)
+            grad_old, aux = move_begin(params, state, e, epos)
             drift_old = limdrift(grad_old, drift_cutoff)
-            gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
+            gauss = gauss_step[e]
             prop = epos + gauss + tstep * drift_old
             newpos, wrapdelta = geometry.enforce(prop)
-            grad_new, ratio, saved = wf.gradient_value(params, state, e, newpos)
+            grad_new, ratio, saved = move_finish(params, state, e, newpos, aux)
             drift_new = limdrift(grad_new, drift_cutoff)
             forward = jnp.sum(gauss * gauss, axis=-1)
             backward = jnp.sum(
@@ -85,7 +93,7 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
             )
             t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
             accept_prob = jnp.abs(ratio) ** 2 * t_prob
-            accept = accept_prob > jax.random.uniform(k2, (nconf,))
+            accept = accept_prob > unif_step[e]
             state = wf.updateinternals(params, state, e, newpos, accept, saved)
             positions = positions.at[:, e, :].set(
                 jnp.where(accept[:, None], newpos, epos)
@@ -105,27 +113,43 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
         if axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         state = wf.recompute(params, positions)
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+        # one batched draw per block for the whole Metropolis chain
+        kg, ku, ka = jax.random.split(key, 3)
+        gauss_all = jax.random.normal(
+            kg, (nsteps, nelec, nconf, 3), dtype
+        ) * jnp.sqrt(tstep).astype(dtype)
+        unif_all = jax.random.uniform(ku, (nsteps, nelec, nconf), dtype)
+        # accumulator keys (ECP rotations etc.): one split outside the scan
+        nacc = max(len(accumulators), 1)
+        akeys_all = jax.random.split(ka, nsteps * nacc).reshape(
+            (nsteps, nacc) + ka.shape  # works for raw (2,)-uint32 and typed keys
+        )
 
         def step_fn(carry, scanned):
-            stepkey, do_acc = scanned
+            gauss_step, unif_step, akeys, do_acc = scanned
             positions, wrap, state = carry
-            positions, wrap, state, acc = sweep(params, positions, wrap, state, stepkey)
+            positions, wrap, state, acc = sweep(
+                params, positions, wrap, state, gauss_step, unif_step
+            )
             out = {"acceptance": acc / nelec, "_accw": do_acc}
             for i, (name, a) in enumerate(accumulators.items()):
-                akey = jax.random.fold_in(stepkey, 7000 + i)
-                for k, v in a.avg(wf, params, state, positions, key=akey).items():
+                for k, v in a.avg(
+                    wf, params, state, positions, key=akeys[i]
+                ).items():
                     # zero out skipped steps; weighted mean taken below
                     out[f"{name}{k}"] = v * do_acc
             return (positions, wrap, state), out
 
-        keys = jax.random.split(key, nsteps)
         # accumulate observables every `accumulate_every`-th step (standard
         # practice: local energies decorrelate slower than one sweep)
         do_acc = (jnp.arange(nsteps) % accumulate_every == 0).astype(
             positions.dtype
         )
         (positions, wrap, state), outs = jax.lax.scan(
-            step_fn, (positions, wrap, state), (keys, do_acc),
+            step_fn, (positions, wrap, state),
+            (gauss_all, unif_all, akeys_all, do_acc),
             unroll=nsteps if unroll else 1,
         )
         accw = outs.pop("_accw")

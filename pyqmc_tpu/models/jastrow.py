@@ -218,6 +218,21 @@ class JastrowSpin:
         du = u[:, 1] - u[:, 0]
         return g[:, 0], g[:, 1], jnp.exp(du), {"du": du, "epos": epos_new}
 
+    def move_begin(self, params, state, e, epos):
+        """Move protocol: ONE delta-terms evaluation at the current position
+        yields both the drift gradient and u_old; u_old rides the aux slot so
+        move_finish's ratio needs no second old-position pass (the naive
+        gradient_current + gradient_value pairing evaluates the old-position
+        terms twice more per move — measured as the dominant Jastrow cost of
+        the latency-bound sweep)."""
+        u_old, g, _ = self._delta_terms(params, state.positions, e, epos, True)
+        return g, u_old
+
+    def move_finish(self, params, state, e, epos, aux):
+        u_new, g, _ = self._delta_terms(params, state.positions, e, epos, True)
+        du = u_new - aux
+        return g, jnp.exp(du), {"du": du, "epos": epos}
+
     def gradient_laplacian(self, params, state, e, epos):
         _, g, lap = self._delta_terms(params, state.positions, e, epos, True)
         return g, lap + jnp.sum(g * g, axis=-1)

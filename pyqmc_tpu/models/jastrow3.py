@@ -219,6 +219,17 @@ class ThreeBodyJastrow:
         du = u[:, 1] - u[:, 0]
         return g[:, 0], g[:, 1], jnp.exp(du), {"du": du}
 
+    def move_begin(self, params, state, e, epos):
+        """Move protocol (see models/jastrow.py): one old-position pass
+        supplies drift gradient AND u_old for move_finish's ratio."""
+        u_old, g, _ = self._e_terms(params, state.positions, e, epos, True)
+        return g, u_old
+
+    def move_finish(self, params, state, e, epos, aux):
+        u_new, g, _ = self._e_terms(params, state.positions, e, epos, True)
+        du = u_new - aux
+        return g, jnp.exp(du), {"du": du}
+
     def gradient_laplacian(self, params, state, e, epos):
         _, g, lap = self._e_terms(params, state.positions, e, epos, True)
         return g, lap + jnp.sum(g * g, axis=-1)

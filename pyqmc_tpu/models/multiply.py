@@ -10,6 +10,28 @@ import jax
 import jax.numpy as jnp
 
 
+def default_move_begin(w, params, state, e, epos):
+    """Metropolis move protocol with graceful degradation.
+
+    A move is evaluated in two halves: begin(old position) -> (grad_old,
+    aux), finish(new position, aux) -> (grad_new, ratio, saved). Kernel-
+    aware wavefunctions implement move_begin/move_finish to share work
+    between the halves (Slater reads its orbital cache; Jastrows reuse
+    u_old); anything else falls back to gradient_current/gradient +
+    gradient_value."""
+    if hasattr(w, "move_begin"):
+        return w.move_begin(params, state, e, epos)
+    if hasattr(w, "gradient_current"):
+        return w.gradient_current(params, state, e, epos), None
+    return w.gradient(params, state, e, epos), None
+
+
+def default_move_finish(w, params, state, e, epos, aux):
+    if hasattr(w, "move_finish"):
+        return w.move_finish(params, state, e, epos, aux)
+    return w.gradient_value(params, state, e, epos)
+
+
 class MultiplyWF:
     def __init__(self, *wfs):
         self.wfs = tuple(wfs)
@@ -121,6 +143,25 @@ class MultiplyWF:
             ratio = ri if ratio is None else ratio * ri
             saved.append(svi)
         return go, gn, ratio, tuple(saved)
+
+    def move_begin(self, params, state, e, epos):
+        """Move protocol (method/vmc.py sweep): per-factor begin with
+        fallback, aux is the tuple of factor auxes."""
+        g, aux = None, []
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            gi, ai = default_move_begin(w, p, s, e, epos)
+            g = gi if g is None else g + gi
+            aux.append(ai)
+        return g, tuple(aux)
+
+    def move_finish(self, params, state, e, epos, aux):
+        g, ratio, saved = None, None, []
+        for w, p, s, a in zip(self.wfs, self._split(params), state, aux):
+            gi, ri, svi = default_move_finish(w, p, s, e, epos, a)
+            g = gi if g is None else g + gi
+            ratio = ri if ratio is None else ratio * ri
+            saved.append(svi)
+        return g, ratio, tuple(saved)
 
     def gradient_value(self, params, state, e, epos):
         g, ratio, saved = None, None, []

@@ -71,3 +71,32 @@ class EnergyAccumulator:
     @property
     def has_nonlocal_moves(self):
         return self.ecp_acc is not None
+
+
+def gradient_generator(mol, wf, params, to_opt=None, naip=None,
+                       eps=1e-3, nodal_cutoff=1e-3, **ewald_kws):
+    """Build the SR accumulator used for wavefunction optimization
+    (reference accumulators.py:27-42 `gradient_generator`).
+
+    Wires EnergyAccumulator (auto-ECP, Ewald kwargs for periodic cells) and
+    a LinearTransform over the optimizable subset of `params` into a
+    StochasticReconfiguration accumulator ready to pass to
+    `line_minimization`."""
+    from .sr import StochasticReconfiguration
+    from .transform import LinearTransform
+
+    ecp_acc = None
+    if getattr(mol, "ecp", None):
+        from .ecp import ECPAccumulator
+
+        ecp_acc = ECPAccumulator(mol, naip=naip)
+    ewald = None
+    if getattr(mol, "lattice", None) is not None and ewald_kws:
+        from .ewald import Ewald
+
+        ewald = Ewald(mol, **ewald_kws)
+    energy = EnergyAccumulator(mol, ecp_acc=ecp_acc, ewald=ewald)
+    transform = LinearTransform(params, to_opt)
+    return StochasticReconfiguration(
+        energy, transform, eps=eps, nodal_cutoff=nodal_cutoff
+    )

@@ -187,3 +187,22 @@ def test_read_mc_output_array_observables(tmp_path, he_setup):
     assert out["sqSq_err"].shape == (3,)
     assert np.all(np.isfinite(out["sqSq"]))
     assert "energytotal" not in out or np.isfinite(out.get("energytotal", 0.0))
+
+
+def test_gradient_generator_factory(he_setup):
+    """api.gradient_generator wires EnergyAccumulator + LinearTransform into
+    a ready SR accumulator (reference accumulators.py:27-42)."""
+    from pyqmc_tpu.api import gradient_generator
+
+    mol, mf, wf = he_setup
+    params = wf.make_params()
+    to_opt = {k: (k == "det_coeff") for k in params}
+    sr = gradient_generator(mol, wf, params, to_opt)
+    configs = initial_guess(mol, 32, key=jax.random.PRNGKey(40))
+    state = wf.recompute(params, configs.positions)
+    out = sr.avg(wf, params, state, configs.positions,
+                 key=jax.random.PRNGKey(41))
+    nparam = sr.transform.serialize(params).shape[0]
+    assert out["dp"].shape == (nparam,)
+    assert out["dpidpj"].shape == (nparam, nparam)
+    assert np.isfinite(float(out["total"]))
