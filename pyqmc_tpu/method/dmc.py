@@ -42,7 +42,7 @@ def limdrift_umrigar(g, tau):
 def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
                tdamp=None, tmoves=True, accumulators=None):
     """Raw (unjitted) DMC kernels: the propagation `block` and the comb
-    `branch`, shared by make_dmc_block and make_dmc_chain.
+    `branch`, wrapped by make_dmc_block.
 
     tdamp=None (default) uses the per-walker effective-timestep ratio
     r2_accepted / r2_proposed (dmc.py:192); pass a float to fix it."""
@@ -50,28 +50,25 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
     nelec = wf.nelec
     ecp_acc = getattr(energy_acc, "ecp_acc", None)
     do_tmoves = tmoves and ecp_acc is not None and ecp_acc.active
-    # drift at the CURRENT position: cached-orbital contraction when the
-    # wavefunction maintains one (Slater), full evaluation otherwise
-    grad_current = getattr(
-        wf, "gradient_current",
-        lambda params, state, e, epos: wf.gradient(params, state, e, epos),
-    )
+    # two-half move protocol (see method/vmc.py): begin(old) reads cached
+    # state for the drift, finish(new, aux) reuses begin's work for the ratio
+    from ..models.multiply import default_move_begin, default_move_finish
 
-    def tmove_sweep(params, positions, wrap, state, stepkey):
+    def tmove_sweep(params, positions, wrap, state, tqkeys, u_sel, u_acc):
         """Anderson-Casula size-consistent T-moves (dmc.py:73-120,168-176):
         per electron, heat-bath selection among {stay} + quadrature points,
         followed by the reverse-amplitude Metropolis acceptance
         norm/back_norm (EQN 34) for detailed balance. Proposed positions are
         folded into the cell (geometry.enforce) with wrap updates, so
-        periodic ECP DMC stays consistent."""
+        periodic ECP DMC stays consistent.
+
+        tqkeys (nelec, key): quadrature-rotation keys; u_sel/u_acc
+        (nelec, nconf): pre-drawn uniforms (batched per block, see sweep)."""
 
         def ebody(e, carry):
             positions, wrap, state = carry
-            k1 = jax.random.fold_in(stepkey, 3 * e)
-            k2 = jax.random.fold_in(stepkey, 3 * e + 1)
-            k3 = jax.random.fold_in(stepkey, 3 * e + 2)
             aux, w, r = ecp_acc.tmove_quadrature(
-                wf, params, state, positions, e, k1, tstep
+                wf, params, state, positions, e, tqkeys[e], tstep
             )  # (c, nq, 3), (c, nq), (c, nq)
             nconf, nq = w.shape
             amp = jnp.maximum(0.0, w * r)  # forward amplitudes
@@ -81,7 +78,7 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
                 [1.0 / norm[:, None], amp / norm[:, None]], axis=1
             )
             cum = jnp.cumsum(probs, axis=1)
-            u = jax.random.uniform(k2, (nconf, 1))
+            u = u_sel[e][:, None]
             choice = jnp.sum((u > cum).astype(jnp.int32), axis=1)  # 0..nq
             move = choice > 0
             qidx = jnp.clip(choice - 1, 0, nq - 1)
@@ -100,7 +97,7 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             )
             back_norm = 1.0 + jnp.sum(amp_b, axis=1)
             acc_prob = jnp.where(move, norm / back_norm, 0.0)
-            accept = acc_prob > jax.random.uniform(k3, (nconf,))
+            accept = acc_prob > u_acc[e]
             newpos = jnp.take_along_axis(
                 aux, qidx[:, None, None].astype(jnp.int32).repeat(3, axis=2), axis=1
             )[:, 0, :]
@@ -132,21 +129,25 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             den = jax.lax.psum(den, axis)
         return num / den
 
-    def sweep(params, positions, wrap, state, stepkey):
+    def sweep(params, positions, wrap, state, gauss_step, unif_step):
+        # gauss_step (nelec, nconf, 3) pre-scaled by sqrt(tstep);
+        # unif_step (nelec, nconf). Randomness is drawn in one batched call
+        # per block (see method/vmc.py sweep: per-move fold_in/normal/uniform
+        # compile to ~245 unfused scalar threefry ops per move).
         nconf = positions.shape[0]
         dtype = positions.dtype
 
         def ebody(e, carry):
             positions, wrap, state, acc = carry
-            k1 = jax.random.fold_in(stepkey, 2 * e)
-            k2 = jax.random.fold_in(stepkey, 2 * e + 1)
             epos = positions[:, e, :]
-            grad_old = grad_current(params, state, e, epos)
+            grad_old, aux = default_move_begin(wf, params, state, e, epos)
             drift_old = limdrift_umrigar(grad_old, tstep)
-            gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
+            gauss = gauss_step[e]
             prop = epos + gauss + tstep * drift_old
             newpos, wrapdelta = geometry.enforce(prop)
-            grad_new, ratio, saved = wf.gradient_value(params, state, e, newpos)
+            grad_new, ratio, saved = default_move_finish(
+                wf, params, state, e, newpos, aux
+            )
             drift_new = limdrift_umrigar(grad_new, tstep)
             forward = jnp.sum(gauss * gauss, axis=-1)
             backward = jnp.sum(
@@ -157,7 +158,7 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             # fixed-node: reject node crossings (dmc.py:65-67)
             if not jnp.iscomplexobj(ratio):
                 accept_prob = jnp.where(jnp.real(ratio) <= 0, 0.0, accept_prob)
-            accept = accept_prob > jax.random.uniform(k2, (nconf,))
+            accept = accept_prob > unif_step[e]
             state = wf.updateinternals(params, state, e, newpos, accept, saved)
             positions = positions.at[:, e, :].set(
                 jnp.where(accept[:, None], newpos, epos)
@@ -199,18 +200,40 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
                    key=jax.random.fold_in(key, 999))
         S_old = compute_S(e_trial, e_est, esigma, edat0["total"], edat0["grad2"])
 
-        def step_fn(carry, stepkey):
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+        # one batched draw per block for the whole chain (see method/vmc.py)
+        kg, ku, kt, ke, ka = jax.random.split(key, 5)
+        xs = {
+            "gauss": jax.random.normal(
+                kg, (nsteps, nelec, nconf, 3), dtype
+            ) * jnp.sqrt(tstep).astype(dtype),
+            "unif": jax.random.uniform(ku, (nsteps, nelec, nconf), dtype),
+            "ekey": jax.random.split(ke, nsteps),
+        }
+        if do_tmoves:
+            kt1, kt2, kt3 = jax.random.split(kt, 3)
+            xs["tqkeys"] = jax.random.split(kt1, nsteps * nelec).reshape(
+                (nsteps, nelec) + kt1.shape
+            )
+            xs["u_sel"] = jax.random.uniform(kt2, (nsteps, nelec, nconf), dtype)
+            xs["u_acc"] = jax.random.uniform(kt3, (nsteps, nelec, nconf), dtype)
+        nacc = max(len(accumulators or {}), 1)
+        xs["akeys"] = jax.random.split(ka, nsteps * nacc).reshape(
+            (nsteps, nacc) + ka.shape
+        )
+
+        def step_fn(carry, x):
             positions, wrap, state, weights, S_old = carry
             if do_tmoves:
                 positions, wrap, state = tmove_sweep(
                     params, positions, wrap, state,
-                    jax.random.fold_in(stepkey, 555),
+                    x["tqkeys"], x["u_sel"], x["u_acc"],
                 )
             positions, wrap, state, (acc, r2p, r2a) = sweep(
-                params, positions, wrap, state, stepkey
+                params, positions, wrap, state, x["gauss"], x["unif"]
             )
-            edat = energy_acc(wf, params, state, positions,
-                              key=jax.random.fold_in(stepkey, 7000))
+            edat = energy_acc(wf, params, state, positions, key=x["ekey"])
             S_new = compute_S(e_trial, e_est, esigma, edat["total"], edat["grad2"])
             # effective-timestep damping: the accepted fraction of the
             # proposed squared displacement (dmc.py:192)
@@ -222,8 +245,7 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             for k, v in edat.items():
                 out[f"energy{k}"] = pglobal_mean(v, weights)
             for i, (name, a) in enumerate((accumulators or {}).items()):
-                dat = a(wf, params, state, positions,
-                        key=jax.random.fold_in(stepkey, 8000 + i))
+                dat = a(wf, params, state, positions, key=x["akeys"][i])
                 for k, v in dat.items():
                     # weight-averaged mixed estimator (dmc.py:201-217)
                     out[f"{name}{k}"] = pglobal_mean(v, weights)
@@ -232,9 +254,8 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             )
             return (positions, wrap, state, weights, S_new), out
 
-        keys = jax.random.split(key, nsteps)
         (positions, wrap, state, weights, _), outs = jax.lax.scan(
-            step_fn, (positions, wrap, state, weights, S_old), keys
+            step_fn, (positions, wrap, state, weights, S_old), xs
         )
         avg = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
         if axis is not None:

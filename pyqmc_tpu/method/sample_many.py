@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .vmc import limdrift
+from ..models.multiply import default_move_begin, default_move_finish
 
 
 def _amplitudes(wfs, params_list, states):
@@ -53,33 +54,32 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
     nelec = wfs[0].nelec
     axis = mesh.axis_names[0] if mesh is not None else None
 
-    def sweep(params_list, positions, wrap, states, stepkey):
-        nconf = positions.shape[0]
+    def sweep(params_list, positions, wrap, states, gauss_step, unif_step):
+        # gauss_step (nelec, nconf, 3) pre-scaled by sqrt(tstep), unif_step
+        # (nelec, nconf): one batched draw per block (see method/vmc.py —
+        # per-move fold_in/normal/uniform compile to ~245 scalar threefry
+        # HLO ops per move)
         dtype = positions.dtype
 
         def ebody(e, carry):
             positions, wrap, states, acc = carry
-            k1 = jax.random.fold_in(stepkey, 2 * e)
-            k2 = jax.random.fold_in(stepkey, 2 * e + 1)
             epos = positions[:, e, :]
             a, rho = _amplitudes(wfs, params_list, states)
             wnorm = jnp.abs(a) ** 2 / rho  # (nwf, nconf)
-            grads = []
+            grads, auxs = [], []
             for wf, p, s in zip(wfs, params_list, states):
-                if hasattr(wf, "gradient_current"):
-                    g = wf.gradient_current(p, s, e, epos)
-                else:
-                    g = wf.gradient(p, s, e, epos)
+                g, aux = default_move_begin(wf, p, s, e, epos)
                 grads.append(jnp.real(g))
+                auxs.append(aux)
             drift = limdrift(
                 sum(wnorm[i][:, None] * grads[i] for i in range(nwf))
             )
-            gauss = jax.random.normal(k1, (nconf, 3), dtype) * jnp.sqrt(tstep)
+            gauss = gauss_step[e]
             prop = epos + gauss + tstep * drift
             newpos, wrapdelta = geometry.enforce(prop)
             ratios, saveds, gnews = [], [], []
-            for wf, p, s in zip(wfs, params_list, states):
-                g, r, sv = wf.gradient_value(p, s, e, newpos)
+            for wf, p, s, aux in zip(wfs, params_list, states, auxs):
+                g, r, sv = default_move_finish(wf, p, s, e, newpos, aux)
                 ratios.append(r)
                 saveds.append(sv)
                 gnews.append(jnp.real(g))
@@ -98,7 +98,7 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
                 (gauss + tstep * (drift + drift_new)) ** 2, axis=-1
             )
             t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
-            accept = rho_ratio * t_prob > jax.random.uniform(k2, (nconf,))
+            accept = rho_ratio * t_prob > unif_step[e]
             states = tuple(
                 wf.updateinternals(p, s, e, newpos, accept, sv)
                 for wf, p, s, sv in zip(wfs, params_list, states, saveds)
@@ -123,10 +123,20 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
             wf.recompute(p, positions) for wf, p in zip(wfs, params_list)
         )
 
-        def step_fn(carry, stepkey):
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+        kg, ku, ks = jax.random.split(key, 3)
+        gauss_all = jax.random.normal(
+            kg, (nsteps, nelec, nconf, 3), dtype
+        ) * jnp.sqrt(tstep).astype(dtype)
+        unif_all = jax.random.uniform(ku, (nsteps, nelec, nconf), dtype)
+        stepkeys = jax.random.split(ks, nsteps)
+
+        def step_fn(carry, scanned):
+            gauss_step, unif_step, stepkey = scanned
             positions, wrap, states = carry
             positions, wrap, states, acc = sweep(
-                params_list, positions, wrap, states, stepkey
+                params_list, positions, wrap, states, gauss_step, unif_step
             )
             a, rho = _amplitudes(wfs, params_list, states)
             nij = jnp.einsum("ic,jc->ijc", jnp.conj(a), a) / rho[None, None, :]
@@ -149,9 +159,9 @@ def make_overlap_block(wfs, geometry, tstep=0.5, nsteps=10, energy_acc=None,
                     out[f"state{i}_den"] = jnp.mean(w)
             return (positions, wrap, states), out
 
-        keys = jax.random.split(key, nsteps)
         (positions, wrap, states), outs = jax.lax.scan(
-            step_fn, (positions, wrap, states), keys
+            step_fn, (positions, wrap, states),
+            (gauss_all, unif_all, stepkeys),
         )
         avg = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
         if axis is not None:
