@@ -134,12 +134,22 @@ def main():
     # move-only (no accumulators) and no-ECP variants isolate the three
     # phases the profile cares about: the Metropolis sweep, the ECP
     # quadrature, and the rest of the local energy (kinetic+coulomb).
+    # Differentials are taken at LONG blocks (200 steps): the axon tunnel
+    # imposes a ~40 ms wall floor per block dispatch, which at 50-step
+    # blocks swamps the phase differences (tools/block_overhead.py).
     profile = {}
     try:
         from pyqmc_tpu.observables.accumulators import EnergyAccumulator
 
+        nlong = 200
+        long_block = make_vmc_block(
+            wf, acc, configs.geometry, tstep=0.5, nsteps=nlong
+        )
+        t_long, pos, wrap, _ = _time_block(
+            long_block, params, pos, wrap, key, reps=3
+        )
         move_block = make_vmc_block(
-            wf, {}, configs.geometry, tstep=0.5, nsteps=nsteps
+            wf, {}, configs.geometry, tstep=0.5, nsteps=nlong
         )
         # thread the walker arrays through: block kernels donate their
         # input buffers, so reusing a consumed array would fail
@@ -148,16 +158,21 @@ def main():
         )
         noecp = {"energy": EnergyAccumulator(mol, ecp_acc=False)}
         noecp_block = make_vmc_block(
-            wf, noecp, configs.geometry, tstep=0.5, nsteps=nsteps
+            wf, noecp, configs.geometry, tstep=0.5, nsteps=nlong
         )
         t_noecp, pos, wrap, _ = _time_block(
             noecp_block, params, pos, wrap, key, reps=3
         )
         profile = {
-            "move_sweep_s": round(t_move, 4),
-            "ecp_quadrature_s": round(max(dt - t_noecp, 0.0), 4),
-            "kinetic_coulomb_s": round(max(t_noecp - t_move, 0.0), 4),
+            "move_sweep_ms_per_step": round(t_move / nlong * 1e3, 4),
+            "ecp_quadrature_ms_per_step": round(
+                max(t_long - t_noecp, 0.0) / nlong * 1e3, 4
+            ),
+            "kinetic_coulomb_ms_per_step": round(
+                max(t_noecp - t_move, 0.0) / nlong * 1e3, 4
+            ),
             "block_total_s": round(dt, 4),
+            "rate_200step_blocks": round(nconf * nlong / t_long, 1),
         }
     except Exception as e:  # profiling must never break the headline number
         profile = {"error": str(e)}

@@ -32,6 +32,21 @@ def default_move_finish(w, params, state, e, epos, aux):
     return w.gradient_value(params, state, e, epos)
 
 
+def default_testvalue_aux_all(w, params, state, aux):
+    """Ratios (nelec, nconf, naux) for replacing EACH electron e with its own
+    aux points aux[e] (nelec, nconf, naux, 3) — the ECP quadrature access
+    pattern. Wavefunctions whose per-point cost is dominated by an
+    electron-INDEPENDENT kernel (Slater: the orbital evaluation) implement
+    testvalue_aux_all to hoist that kernel out of the electron vmap into one
+    flat call; everything else falls back to vmapped testvalue."""
+    if hasattr(w, "testvalue_aux_all"):
+        return w.testvalue_aux_all(params, state, aux)
+    es = jnp.arange(aux.shape[0])
+    return jax.vmap(
+        lambda e, a: w.testvalue(params, state, e, a)[0]
+    )(es, aux)
+
+
 class MultiplyWF:
     def __init__(self, *wfs):
         self.wfs = tuple(wfs)
@@ -143,6 +158,15 @@ class MultiplyWF:
             ratio = ri if ratio is None else ratio * ri
             saved.append(svi)
         return go, gn, ratio, tuple(saved)
+
+    def testvalue_aux_all(self, params, state, aux):
+        """Product of per-factor aux-all ratios (see
+        default_testvalue_aux_all)."""
+        ratio = None
+        for w, p, s in zip(self.wfs, self._split(params), state):
+            ri = default_testvalue_aux_all(w, p, s, aux)
+            ratio = ri if ratio is None else ratio * ri
+        return ratio
 
     def move_begin(self, params, state, e, epos):
         """Move protocol (method/vmc.py sweep): per-factor begin with

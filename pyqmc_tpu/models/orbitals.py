@@ -46,17 +46,30 @@ class MolecularOrbitals:
         self._ca = np.asarray(mo_coeff[0])
         self._cb = np.asarray(mo_coeff[1])
         self.norb = (self._ca.shape[1], self._cb.shape[1])
+        backend = jax.devices()[0].platform
+        on_tpu = backend not in ("cpu", "gpu")
         if fused == "auto":
-            backend = jax.devices()[0].platform
-            fused = (
-                backend not in ("cpu", "gpu")
-                and self.spec.nao >= self._FUSED_MIN_NAO
-            )
+            fused = on_tpu and self.spec.nao >= self._FUSED_MIN_NAO
         self._fused2 = None
         if fused:
             from ..ops.gto_pallas import fused_eval_gto2
 
             self._fused2 = fused_eval_gto2(self.spec)
+        # value-only path (ECP quadrature, OBDM aux sampling): the fused
+        # GTO+MO kernel wins at EVERY basis size on TPU — the XLA path's
+        # (M, S, P) radial intermediates are pure HBM traffic the kernel
+        # keeps in VMEM (measured: the H2O ECP sweep's AO eval drops
+        # 113 us -> ~15 us per step at 98k aux points)
+        self._fused0 = None
+        if on_tpu:
+            from ..ops.gto_pallas import fused_value_mo
+
+            self._fused0 = fused_value_mo(
+                self.spec, self._ca.shape[1] + self._cb.shape[1]
+            )
+            # concat shell-row order: row j of the kernel's AO tile is AO
+            # index concat_rows[j] (= argsort of the spec's perm gather)
+            self._concat_rows = np.argsort(self.spec.perm)
 
     def make_params(self):
         return {
@@ -72,6 +85,11 @@ class MolecularOrbitals:
         """
         ca, cb = params["mo_coeff_alpha"], params["mo_coeff_beta"]
         if mode == 0:
+            if self._fused0 is not None and X.dtype == jnp.float32:
+                cr = jnp.concatenate([ca, cb], axis=1)[self._concat_rows]
+                mo = self._fused0(X, cr.astype(X.dtype))
+                na = ca.shape[1]
+                return (mo[..., :na], mo[..., na:])
             ao = eval_gto(self.spec, X, 0)
             return (ao @ ca, ao @ cb)
         if mode == 1:

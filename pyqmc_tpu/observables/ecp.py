@@ -474,10 +474,38 @@ class ECPAccumulator:
         # evaluation over nconf * echunk * nq aux points per chunk instead
         # of nelec sequential small calls (the reference loops electrons in
         # Python, eval_ecp.py:232-260)
-        def one(e, ekey):
-            return self._nonlocal_electron(
-                wf, params, state, positions, e, ekey
-            )
+        dense = self.nselect is None or self.nselect >= self.nq_total
+        aux_all_ok = dense and not getattr(wf, "ratio_is_modulus", False)
+        if aux_all_ok:
+            # flat-orbital path: geometry vmapped (cheap), wavefunction
+            # ratios through testvalue_aux_all so the electron-INDEPENDENT
+            # orbital kernel runs once on the flat point set (measured on
+            # v5e: the vmapped orbital eval was the ECP's top cost)
+            from ..models.multiply import default_testvalue_aux_all
+
+            def one_chunk(ec, kc):
+                aux_c, T_c, _ = jax.vmap(
+                    lambda e, kk: self._quadrature_geometry(positions, e, kk)
+                )(ec, kc)
+                rat = default_testvalue_aux_all(wf, params, state, aux_c)
+                if jnp.iscomplexobj(rat):
+                    rr, ri = jnp.real(rat), jnp.imag(rat)
+                else:
+                    rr, ri = rat, None
+                re_c = jnp.sum(T_c * rr, axis=2)  # (chunk, nconf)
+                im_c = (
+                    jnp.sum(T_c * ri, axis=2) if ri is not None
+                    else jnp.zeros_like(re_c)
+                )
+                return re_c, im_c
+        else:
+            def one_chunk(ec, kc):
+                re_c, im_c = jax.vmap(
+                    lambda e, ekey: self._nonlocal_electron(
+                        wf, params, state, positions, e, ekey
+                    )
+                )(ec, kc)
+                return re_c, im_c
 
         es = jnp.arange(self.nelec)
         keys = jax.vmap(lambda e: jax.random.fold_in(key, 1000 + e))(es)
@@ -492,7 +520,7 @@ class ECPAccumulator:
             npts = self.nselect if self.nselect else self.nq_total
             chunk = max(1, 262144 // max(nconf * npts, 1))
         if chunk is None or chunk >= self.nelec:
-            re_all, im_all = jax.vmap(one)(es, keys)  # (ne, c)
+            re_all, im_all = one_chunk(es, keys)  # (ne, c)
             nl, nl_im = jnp.sum(re_all, axis=0), jnp.sum(im_all, axis=0)
         else:
             pad = (-self.nelec) % chunk
@@ -502,7 +530,7 @@ class ECPAccumulator:
 
             def chunk_body(carry, args):
                 ec, kc, vc = args
-                re_c, im_c = jax.vmap(one)(ec, kc)  # (chunk, c)
+                re_c, im_c = one_chunk(ec, kc)  # (chunk, c)
                 return (
                     carry[0] + jnp.sum(re_c * vc[:, None], axis=0),
                     carry[1] + jnp.sum(im_c * vc[:, None], axis=0),

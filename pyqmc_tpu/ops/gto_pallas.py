@@ -181,6 +181,144 @@ def build_pallas_evaluator(spec: GTOSpec, tile: int = 512, interpret: bool = Fal
     return evaluate
 
 
+def build_pallas_value_mo(spec: GTOSpec, norb_tot: int, tile: int = 512,
+                          interpret: bool = False):
+    """Fused value-only GTO + MO contraction: f(Xt (3, M), C_r (nao, norb))
+    -> mo (norb, M).
+
+    C_r must be in CONCATENATED shell-row order (mo_coeff rows permuted by
+    spec.perm's inverse — i.e. C_r = C[row_order] where row_order is the
+    concat order). The kernel evaluates every AO into VMEM registers,
+    assembles the (nao, T) tile, and contracts against C_r on the spot —
+    the (M, S, P) radial intermediates that the XLA path materializes in
+    HBM (the measured bottleneck of the ECP quadrature sweep: ~100 MB of
+    traffic per step at 98k aux points) never leave VMEM.
+    """
+    nao = spec.nao
+    groups = []
+    for g in spec.groups:
+        centers = spec.atom_coords[np.asarray(g.shell_atoms)]
+        C = cart2sph_matrix(g.l)
+        comps = cart_components(g.l)
+        cols = np.array(g.ao_pos).reshape(len(g.shell_atoms), 2 * g.l + 1)
+        groups.append(
+            (g.l, centers, np.asarray(g.alpha), np.asarray(g.coef), C, comps, cols)
+        )
+
+    def kernel(xt_ref, cr_ref, *refs):
+        ntab = 3 * len(groups)
+        table_refs = refs[:ntab]
+        mo_ref = refs[ntab]
+        xt = xt_ref[:]  # (3, T)
+        rows = [None] * nao
+        rowi = 0
+        for gi, (l, centers_np, alpha_np, coef_np, C_np, comps, cols) in enumerate(
+            groups
+        ):
+            cen = table_refs[3 * gi][:]  # (S, 3)
+            alpha = table_refs[3 * gi + 1][:]  # (S, P)
+            coef = table_refs[3 * gi + 2][:]  # (S, P)
+            S, P = alpha_np.shape
+            rx = xt[0][None, :] - cen[:, 0][:, None]  # (S, T)
+            ry = xt[1][None, :] - cen[:, 1][:, None]
+            rz = xt[2][None, :] - cen[:, 2][:, None]
+            r2 = rx * rx + ry * ry + rz * rz
+            g0 = jnp.zeros_like(r2)
+            for p in range(P):
+                g0 = g0 + coef[:, p][:, None] * jnp.exp(-alpha[:, p][:, None] * r2)
+            one = jnp.ones_like(rx)
+            pw = {0: [one, rx], 1: [one, ry], 2: [one, rz]}
+            for k in range(2, l + 1):
+                pw[0].append(pw[0][-1] * rx)
+                pw[1].append(pw[1][-1] * ry)
+                pw[2].append(pw[2][-1] * rz)
+            P_c = [pw[0][i] * pw[1][j] * pw[2][k] * g0 for (i, j, k) in comps]
+            nsph = 2 * l + 1
+            # concat row order is shell-major, sph-minor (eval_gto reshapes
+            # (M, S, nsph) -> (M, S*nsph))
+            sph = []
+            for q in range(nsph):
+                val = None
+                for c in range(len(comps)):
+                    w = float(C_np[c, q])
+                    if w == 0.0:
+                        continue
+                    val = w * P_c[c] if val is None else val + w * P_c[c]
+                sph.append(val)
+            for si in range(S):
+                for q in range(nsph):
+                    rows[rowi] = sph[q][si]
+                    rowi += 1
+        ao_mat = jnp.stack(rows, axis=0)  # (nao, T), concat row order
+        mo_ref[:, :] = jnp.dot(
+            cr_ref[:].T, ao_mat, preferred_element_type=ao_mat.dtype
+        )
+
+    def evaluate(Xt, C_r):
+        M = Xt.shape[1]
+        assert M % tile == 0
+        grid = (M // tile,)
+        table_inputs = []
+        table_specs = []
+        for (l, centers, alpha, coef, C, comps, cols) in groups:
+            for arr in (centers, alpha, coef):
+                a = jnp.asarray(arr, Xt.dtype)
+                table_inputs.append(a)
+                table_specs.append(
+                    pl.BlockSpec(
+                        a.shape,
+                        functools.partial(lambda nd, i: (0,) * nd, a.ndim),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (nao, norb_tot), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            + table_specs,
+            out_specs=pl.BlockSpec(
+                (norb_tot, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((norb_tot, M), Xt.dtype),
+            interpret=interpret,
+        )(Xt, C_r, *table_inputs)
+
+    return evaluate
+
+
+def fused_value_mo(spec: GTOSpec, norb_tot: int, tile: int = None,
+                   interpret: bool = False):
+    """mode=0 orbital evaluation drop-in: f(X (..., 3), C_r (nao, norb_tot))
+    -> mo (..., norb_tot), with C_r in concat shell-row order (permute the
+    AO-ordered mo_coeff rows with the concat order = argsort(spec.perm)
+    inverse, i.e. C_r = C[concat_rows]).
+
+    tile=None picks the largest VMEM-safe tile: measured on v5e at 98k
+    points / 24 AOs, the kernel nets 34 us at tile=4096 vs 74 us at 512
+    (XLA path: 128 us) — wide tiles keep the VPU's 8x128 lanes full."""
+    if tile is None:
+        # ~4 live (nao, tile) f32 buffers; budget ~4 MB of VMEM for them
+        tile = max(512, min(4096, (262144 // max(spec.nao, 1)) // 512 * 512))
+    ev = build_pallas_value_mo(spec, norb_tot, tile=tile, interpret=interpret)
+
+    def f(X, C_r):
+        shape = X.shape[:-1]
+        M = int(np.prod(shape)) if shape else 1
+        Xf = X.reshape(-1, 3)
+        Mp = ((M + tile - 1) // tile) * tile
+        if Mp != M:
+            Xf = jnp.concatenate([Xf, jnp.zeros((Mp - M, 3), X.dtype)], axis=0)
+        mo_t = ev(Xf.T, C_r)  # (norb, Mp)
+        return mo_t.T[:M].reshape(shape + (norb_tot,))
+
+    return f
+
+
 def fused_eval_gto2(spec: GTOSpec, tile: int = 512, interpret: bool = False):
     """mode=2 eval_gto drop-in built on the fused kernel.
 

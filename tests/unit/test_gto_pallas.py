@@ -75,3 +75,24 @@ def test_fused_replicated_pbc_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
         )
+
+
+def test_fused_value_mo_matches_xla():
+    """fused_value_mo (interpret mode): fused GTO value + MO contraction
+    equals eval_gto(mode=0) @ C for a permuted-coefficient input."""
+    from pyqmc_tpu.ops.gto_pallas import fused_value_mo
+
+    mol = Molecule(
+        "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+        basis="ccecpccpvdz", ecp="ccecp",
+    )
+    spec = GTOSpec.from_molecule(mol)
+    rng = np.random.default_rng(7)
+    C = jnp.asarray(rng.normal(size=(spec.nao, 9)))
+    concat_rows = np.argsort(spec.perm)
+    f = fused_value_mo(spec, 9, tile=64, interpret=True)
+    X = jnp.asarray(rng.normal(scale=1.5, size=(5, 23, 3)))  # non-multiple
+    mo = f(X, C[concat_rows])
+    ref = eval_gto(spec, X, mode=0) @ C
+    assert mo.shape == (5, 23, 9)
+    np.testing.assert_allclose(mo, ref, atol=1e-12)

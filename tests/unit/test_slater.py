@@ -68,3 +68,22 @@ def test_h_atom_no_dn_electrons():
     testwf.test_updateinternals(wf, params, configs, jax.random.PRNGKey(7))
     testwf.test_gradient(wf, params, configs, jax.random.PRNGKey(8))
     testwf.test_gradient_laplacian(wf, params, configs, jax.random.PRNGKey(9))
+
+
+def test_testvalue_aux_all_matches_vmapped_testvalue(h2o_mf):
+    """Slater.testvalue_aux_all (flat orbital pass + vmapped det-ratio
+    contraction, the ECP quadrature fast path) equals per-electron
+    testvalue."""
+    wf = Slater.from_mean_field(h2o_mf)
+    params = wf.make_params()
+    configs = initial_guess(h2o_mf.mol, 12, key=jax.random.PRNGKey(3))
+    pos = configs.positions
+    state = wf.recompute(params, pos)
+    nelec = wf.nelec
+    rng = np.random.default_rng(5)
+    aux = jnp.asarray(rng.normal(scale=1.2, size=(nelec, 12, 4, 3)))
+    got = wf.testvalue_aux_all(params, state, aux)
+    es = jnp.arange(nelec)
+    ref = jax.vmap(lambda e, a: wf.testvalue(params, state, e, a)[0])(es, aux)
+    assert got.shape == (nelec, 12, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
