@@ -66,6 +66,40 @@ def summarize(outdir, top=25):
     return dict(items)
 
 
+def summarize_exact(outdir, top=30):
+    """Top individual HLO op instances (exact names, with call counts) —
+    'fusion' as one family hides which fusion dominates; exact names let
+    the hotspot be located in the HLO dump."""
+    files = sorted(
+        glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True)
+    )
+    if not files:
+        return {}
+    data = jax.profiler.ProfileData.from_file(files[-1])
+    dur = defaultdict(float)
+    cnt = defaultdict(int)
+    for plane in data.planes:
+        pname = plane.name.lower()
+        if ("tpu" not in pname and "gpu" not in pname and "device" not in pname) \
+                or "host" in pname:
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            if "xla op" not in lname and "ops" != lname and "xla" not in lname:
+                continue
+            for ev in line.events:
+                dur[ev.name] += ev.duration_ns
+                cnt[ev.name] += 1
+    items = sorted(dur.items(), key=lambda kv: -kv[1])
+    total = sum(dur.values())
+    print(f"\ntop {top} individual ops (of {len(dur)}):")
+    for name, ns in items[:top]:
+        n = cnt[name]
+        print(f"  {name:46s} {ns/1e6:8.3f} ms  {100*ns/max(total,1):5.1f}%  "
+              f"x{n:6d}  {ns/1e3/max(n,1):7.2f} us/call")
+    return dict(items)
+
+
 def main(nconf=2048, nsteps=50):
     import __graft_entry__ as ge
     from pyqmc_tpu.method.vmc import make_vmc_block
@@ -83,6 +117,7 @@ def main(nconf=2048, nsteps=50):
     os.makedirs(outdir, exist_ok=True)
     capture_trace(block, params, pos, wrap, key, outdir)
     summarize(outdir)
+    summarize_exact(outdir)
 
 
 if __name__ == "__main__":
