@@ -395,8 +395,10 @@ def rundmc(
         import os, h5py
 
         if os.path.exists(hdf_file):
+            required = {"weights", "configs", "e_trial", "e_est", "block"}
             with h5py.File(hdf_file, "r") as f:
-                if "weights" in f and "configs" in f:
+                keys = set(f.keys())
+                if required <= keys:
                     restart = {
                         "configs": Configs.from_hdf(f["configs"]),
                         "weights": np.asarray(f["weights"]),
@@ -405,6 +407,20 @@ def rundmc(
                         "esigma": float(f.attrs.get("esigma", 1.0)),
                         "block0": int(np.asarray(f["block"])[-1]) + 1,
                     }
+                elif keys:
+                    # a VMC output (configs, no weights), an optimization
+                    # file, or a partially-written checkpoint — refuse with
+                    # a named error rather than resuming from garbage
+                    # (restart semantics: reference dmc.py:472-499)
+                    raise ValueError(
+                        f"not a DMC checkpoint: {hdf_file} has keys "
+                        f"{sorted(keys)} but a DMC restart needs "
+                        f"{sorted(required)}; point hdf_file at a fresh "
+                        "path or a DMC-produced checkpoint"
+                    )
+                # else: file exists but is empty (e.g. created then killed
+                # before the first block) — start fresh and overwrite
+        if restart is not None:
             # a silently-mismatched checkpoint would shape-error deep inside
             # h5py or, worse, resample wrong — validate up front
             saved = restart["configs"]

@@ -101,6 +101,21 @@ def select_candidate(energies, ess, taus, ess_threshold=0.3, iteration=None):
     return None, halved
 
 
+def update_tau_grid(taus, taus0, ok_streak, stalled, tau_recover=2):
+    """Post-iteration tau-grid bookkeeping: after `tau_recover` consecutive
+    non-stalled iterations, double a stall-halved grid back toward the
+    original `taus0` (element-wise capped), so one pathological iteration
+    does not permanently ratchet all future step sizes down.
+
+    Returns (taus, ok_streak)."""
+    if stalled:
+        return taus, 0
+    ok_streak += 1
+    if ok_streak >= tau_recover and list(taus) != list(taus0):
+        return [min(2.0 * t, t0) for t, t0 in zip(taus, taus0)], 0
+    return taus, ok_streak
+
+
 def line_minimization(
     wf,
     params,
@@ -114,6 +129,7 @@ def line_minimization(
     vmc_steps_per_block: int = 10,
     vmc_tstep: float = 0.5,
     correlated_nconf: Optional[int] = None,
+    tau_recover: int = 2,
     sr_eps: float = 1e-3,
     mesh=None,
     hdf_file: Optional[str] = None,
@@ -126,9 +142,27 @@ def line_minimization(
     walker configurations, and iteration counter instead of starting over.
     Per-iteration RNG keys are derived by folding the iteration index so a
     resumed run draws the same stream it would have drawn uninterrupted.
+
+    When an iteration stalls (all correlated-sampling candidates fail the
+    ESS guard) the tau grid is halved; after `tau_recover` consecutive
+    non-stalled iterations it is doubled back toward the original grid, so
+    one pathological iteration does not permanently shrink all later steps.
     """
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
+    if correlated_nconf is not None:
+        nconf = configs.positions.shape[0]
+        if not (0 < correlated_nconf <= nconf):
+            raise ValueError(
+                f"correlated_nconf={correlated_nconf} must be in "
+                f"[1, nconf={nconf}]"
+            )
+        if mesh is not None and correlated_nconf % mesh.devices.size != 0:
+            raise ValueError(
+                f"correlated_nconf={correlated_nconf} does not divide over "
+                f"the {mesh.devices.size}-device mesh; pick a multiple of "
+                f"{mesh.devices.size}"
+            )
     sr = StochasticReconfiguration(energy_acc, transform, eps=sr_eps)
     sampler = make_correlated_sampler(wf, energy_acc, configs.geometry,
                                       mesh=mesh)
@@ -175,6 +209,9 @@ def line_minimization(
                             f"from {hdf_file}", flush=True,
                         )
 
+    taus = list(taus)
+    taus0 = list(taus)
+    ok_streak = 0
     for it in range(start_it, max_iterations):
         vkey, ckey = jax.random.split(jax.random.fold_in(key, it))
         data, configs = vmc(
@@ -207,6 +244,8 @@ def line_minimization(
         else:
             params = candidates[best]
             chosen_tau = taus[best]
+        taus, ok_streak = update_tau_grid(taus, taus0, ok_streak, stalled,
+                                          tau_recover)
         rec = {
             "iteration": it,
             "energy": float(np.mean(block_avg["total"])),

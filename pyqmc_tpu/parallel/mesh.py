@@ -6,8 +6,9 @@ dmc.py:238-304). The TPU-native equivalent implemented across method/:
 
   * walker arrays are sharded over the mesh's first axis ('walkers');
   * per-block averages / SR reductions are jax.lax.pmean/psum over ICI;
-  * DMC branching is a per-shard stochastic comb with globally normalized
-    weights (method/dmc.py);
+  * DMC branching is a global stochastic comb: weights are all-gathered
+    across shards, one comb resamples the full population, and each shard
+    keeps its slice (method/dmc.py branch kernel; doc/parallelism.md);
   * the host only sees per-block scalars and checkpoints.
 
 Helpers here standardize mesh construction and walker sharding.

@@ -1,13 +1,12 @@
 """Walker-batch scaling sweep for the headline ccECP H2O VMC block.
 
-The XProf trace (tools/profile_ops.py, README "utilization evidence")
-shows the 2048-walker block is dispatch/latency-bound: ~144k device ops
-averaging ~1 us, dominated by (2048,.)-shaped fusions in the sequential
-Metropolis chain. A latency-bound chain means per-op time is flat in the
-batch dimension until the VPU is actually fed, so walker-steps/s should
-scale nearly linearly with nconf up to the compute-bound knee. This tool
-measures that knee so bench.py can run the chip at its throughput point
-rather than an arbitrary small batch (reference uses 500 walkers on CPU,
+Measured conclusion (this tool + README "utilization evidence"): block
+time scales ~linearly with nconf and walker-steps/s is essentially flat
+(~2.0-2.4 M/s from 512 to 8192 walkers), i.e. the sequential Metropolis
+chain is per-op memory-bound on its (nconf,.)-shaped operands, not
+dispatch/latency-bound — there is no throughput "knee" to exploit by
+raising the batch. bench.py therefore keeps the production-like 2048
+walkers (reference uses 500 walkers on CPU,
 /root/reference/benchmarks/h2o_benchmark.py:13).
 
 Usage: python tools/nconf_sweep.py [nconf ...]   (default sweep below)

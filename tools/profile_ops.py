@@ -48,8 +48,9 @@ def summarize(outdir, top=25):
             continue
         for line in plane.lines:
             lname = line.name.lower()
-            # XLA op activity lines; skip derived "steps"/framework lines
-            if "xla op" not in lname and "ops" != lname and "xla" not in lname:
+            # only the XLA op activity line — module/TraceMe lines span whole
+            # blocks and would double-count into `total`
+            if "xla op" not in lname and lname != "ops":
                 continue
             for ev in line.events:
                 dur = ev.duration_ns
@@ -85,7 +86,7 @@ def summarize_exact(outdir, top=30):
             continue
         for line in plane.lines:
             lname = line.name.lower()
-            if "xla op" not in lname and "ops" != lname and "xla" not in lname:
+            if "xla op" not in lname and lname != "ops":
                 continue
             for ev in line.events:
                 dur[ev.name] += ev.duration_ns
