@@ -159,18 +159,83 @@ class GenericJastrow:
         return jax.vmap(single)(positions)
 
 
+def _gamma_replicated_spec(cell, tol=1e-6, ngrid=6):
+    """Gamma-point supercell AO table for a periodic cell.
+
+    chi_mu(r) = sum_L chi_mu(r - R_mu - L) over the lattice images whose
+    basis functions reach the home cell, realized as a culled
+    replicated-shell GTOSpec (one shell per kept (shell, image) pair, the
+    construction KPointOrbitals uses for its real-mode fast path,
+    models/orbitals.py:201-251) plus a 0/1 image-sum matrix P
+    (nao_repl, nao). The reference builds the same gamma-point supercell
+    AOs for GeminalJastrow on cells (pyqmc/wf/geminaljastrow.py:52-55,
+    259-283) through pyscf's eval_gto.
+    """
+    import dataclasses as _dc
+
+    from .orbitals import select_pbc_images
+
+    lat = np.asarray(cell.lattice, dtype=np.float64)
+    images = select_pbc_images(lat, cell.shells, cell.atom_coords, tol)
+    fr = (np.arange(ngrid) + 0.5) / ngrid
+    grid = (
+        np.array(np.meshgrid(fr, fr, fr, indexing="ij")).reshape(3, -1).T @ lat
+    )
+    margin = 0.5 * np.linalg.norm(lat.sum(axis=0)) / ngrid
+    centers, repl, rows = [], [], []
+    off = 0
+    for L in images:
+        for sh in cell.shells:
+            c = cell.atom_coords[sh.atom] + L
+            rcut = np.sqrt(-np.log(tol) / float(np.min(sh.exps)))
+            if np.min(np.linalg.norm(grid - c[None], axis=1)) > rcut + margin:
+                continue
+            repl.append(_dc.replace(sh, atom=len(centers), ao_offset=off))
+            centers.append(c)
+            rows.append(sh)
+            off += 2 * sh.l + 1
+    spec = GTOSpec.from_shells(repl, np.asarray(centers), off)
+    P = np.zeros((off, cell.nao))
+    row = 0
+    for sh in rows:
+        n = 2 * sh.l + 1
+        P[row : row + n, sh.ao_offset : sh.ao_offset + n] = np.eye(n)
+        row += n
+    return spec, P
+
+
 class GeminalJastrow(GenericJastrow):
-    def __init__(self, mol):
+    """AO-pair geminal Jastrow; on a Cell the feature map is the
+    gamma-point supercell AO sum (periodic and smooth across the cell
+    boundary), matching pyqmc/wf/geminaljastrow.py:21-66,259-283."""
+
+    def __init__(self, mol, img_tol=1e-6):
         super().__init__(sum(mol.nelec))
-        self.spec = GTOSpec.from_molecule(mol)
         self.nao = mol.nao
+        lattice = getattr(mol, "lattice", None)
+        if lattice is None:
+            self.spec = GTOSpec.from_molecule(mol)
+            self._P = None
+        else:
+            self.spec, P = _gamma_replicated_spec(mol, img_tol)
+            self._P = P
+            self._lattice = np.asarray(lattice, dtype=np.float64)
+            self._lattice_inv = np.linalg.inv(self._lattice)
 
     def make_params(self):
         return {"gcoeff": jnp.zeros((self.nao, self.nao))}
 
     def features(self, params, xyz):
         lead = xyz.shape[:-1]
-        chi = eval_gto(self.spec, xyz.reshape(-1, 3), 0)
+        X = xyz.reshape(-1, 3)
+        if self._P is not None:
+            # fold into the home cell (floor has zero derivative, so
+            # autodiff gradients/laplacians pass through unchanged)
+            frac = X @ jnp.asarray(self._lattice_inv, X.dtype)
+            X = (frac - jnp.floor(frac)) @ jnp.asarray(self._lattice, X.dtype)
+        chi = eval_gto(self.spec, X, 0)
+        if self._P is not None:
+            chi = chi @ jnp.asarray(self._P, chi.dtype)
         return chi.reshape(*lead, self.nao)
 
     def bilinear(self, params, u, v):

@@ -96,3 +96,55 @@ def test_optvariance(h2_mf):
         acc, wf, params, configs, lt, options={"maxiter": 30},
     )
     assert varf <= var0 + 1e-9, (varf, var0)
+
+
+def test_geminal_periodic_contract():
+    """Periodic geminal Jastrow: gamma-point supercell AO features are
+    lattice-periodic and the wavefunction passes the full contract harness
+    on a PBC cell (reference geminaljastrow.py:259-283 role)."""
+    from ..fixtures_pbc import load_cell
+
+    cell, d = load_cell("h_pbc_casscf")
+    wf = GeminalJastrow(cell)
+    params = wf.make_params()
+    params["gcoeff"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(16), params["gcoeff"].shape
+    )
+    # feature map is periodic: chi(r + A) == chi(r)
+    X = jax.random.normal(jax.random.PRNGKey(17), (6, 3))
+    f0 = wf.features(params, X)
+    for a in np.asarray(cell.lattice):
+        np.testing.assert_allclose(
+            wf.features(params, X + a[None]), f0, rtol=1e-9, atol=1e-11
+        )
+    configs = initial_guess(cell, 5, key=jax.random.PRNGKey(18))
+    testwf.run_all(wf, params, configs, jax.random.PRNGKey(19))
+
+
+def test_geminal_periodic_vmc_smoke():
+    """Slater x periodic geminal composes and samples on a cell."""
+    from ..fixtures_pbc import load_cell
+    from pyqmc_tpu.models.orbitals import KPointOrbitals
+    from pyqmc_tpu.method.vmc import vmc
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+
+    cell, d = load_cell("h_pbc_casscf")
+    nocc = int(np.sum(np.asarray(d["mo_occ"]) > 0.5))
+    C = np.asarray(d["mo_coeff"])[:, :nocc].astype(np.complex128)
+    orb = KPointOrbitals(cell, np.zeros((1, 3)), ([C], [C]))
+    from pyqmc_tpu.models.slater import DeterminantExpansion
+
+    slater = Slater(cell, orb, DeterminantExpansion.single(nocc, nocc))
+    gem = GeminalJastrow(cell)
+    wf = MultiplyWF(slater, gem)
+    params = wf.make_params()
+    params["wf1"]["gcoeff"] = 0.01 * jax.random.normal(
+        jax.random.PRNGKey(20), (gem.nao, gem.nao)
+    )
+    configs = initial_guess(cell, 8, key=jax.random.PRNGKey(21))
+    data, _ = vmc(
+        wf, params, configs, nblocks=2, nsteps_per_block=3,
+        accumulators={"energy": EnergyAccumulator(cell)},
+        key=jax.random.PRNGKey(22),
+    )
+    assert np.isfinite(float(data[-1]["energytotal"]))
