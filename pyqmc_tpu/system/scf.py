@@ -92,6 +92,21 @@ def run_scf(
         ERI = integrals.eri(mol)
         if integrals_cache is not None:
             integrals_cache.update(S=S, T=T, V=V, ERI=ERI)
+    # J/K as BLAS matvecs over flattened ERI: J = (ij|kl) D_kl is a gemv on
+    # the (n^2, n^2) view; K = (ik|jl) D_kl needs the (i,k)<->(j) transposed
+    # copy, built once and cached (the ECP generator runs hundreds of SCFs
+    # in one fixed sea — a naive einsum contraction was ~100x slower for
+    # 3d-metal all-electron seas, nao ~ 150).
+    nao_ = S.shape[0]
+    ERI_J = ERI.reshape(nao_ * nao_, nao_ * nao_)
+    if integrals_cache is not None and "ERI_K" in integrals_cache:
+        ERI_K = integrals_cache["ERI_K"]
+    else:
+        ERI_K = np.ascontiguousarray(ERI.transpose(0, 2, 1, 3)).reshape(
+            nao_ * nao_, nao_ * nao_
+        )
+        if integrals_cache is not None:
+            integrals_cache["ERI_K"] = ERI_K
     H = T + V
     if getattr(mol, "ecp", None):
         from .ecp_integrals import ecp_matrix
@@ -124,8 +139,10 @@ def run_scf(
             for s_ in range(2)
         ]
         Dt = D[0] + D[1]
-        J = np.einsum("ijkl,kl->ij", ERI, Dt)
-        Ks = [np.einsum("ikjl,kl->ij", ERI, D[s_]) for s_ in range(2)]
+        J = (ERI_J @ Dt.ravel()).reshape(nao_, nao_)
+        # one GEMM for both spin K matrices (one pass over ERI_K)
+        KD = (ERI_K @ np.stack([D[0].ravel(), D[1].ravel()], axis=1))
+        Ks = [KD[:, s_].reshape(nao_, nao_) for s_ in range(2)]
         Fs = [H + J - Ks[s_] for s_ in range(2)]
         if restricted:
             Favg = 0.5 * (Fs[0] + Fs[1])
