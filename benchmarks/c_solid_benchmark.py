@@ -90,9 +90,22 @@ def main(nconfig=500):
 
 E_FIXTURE_PER_CELL = -10.5075  # KRKS e_tot of the committed fixture
 
+# measured by tools/baseline_cpu_pbc.py on this host: the reference's
+# execution model (host Python loop per electron, numpy Sherman-Morrison,
+# jitted k-point orbital kernels standing in for numba pbcgto, per-step
+# kinetic + per-(electron, atom) ECP quadrature + Ewald) on the same
+# diamond-C 2x2x2 TRIM config. None until measured.
+BASELINE_PBC_WALKER_STEPS_PER_SEC = None
 
-def e2e_vmc(nconfig=500, nsteps=10, general_twist=False, nwarm=6, nrep=4):
+
+def e2e_vmc(nconfig=500, nsteps=10, general_twist=False, nwarm=6, nrep=4,
+            profile=False):
     """End-to-end SJ-VMC walker-steps/s on the diamond 2x2x2 supercell.
+
+    profile=True additionally times move-only and no-ECP block variants
+    (differential phase split: move sweep / ECP quadrature / kinetic+Ewald
+    per step, the bench.py methodology) — the periodic counterpart of the
+    H2O profile (VERDICT r3 item 5).
 
     Returns (walker_steps_per_s, energy_per_prim_cell)."""
     from fixtures_pbc import load_cell
@@ -162,13 +175,42 @@ def e2e_vmc(nconfig=500, nsteps=10, general_twist=False, nwarm=6, nrep=4):
     rate = nconfig * nsteps / dt
     ncell = 8  # 2x2x2 supercell of the primitive cell
     e_cell = float(avg["energytotal"]) / ncell
+    vsb = (f", vs_baseline {rate / BASELINE_PBC_WALKER_STEPS_PER_SEC:,.0f}x"
+           if BASELINE_PBC_WALKER_STEPS_PER_SEC else "")
     print(
         f"e2e SJ-VMC [{tag}] backend={jax.default_backend()} "
-        f"nconfig={nconfig} nsteps={nsteps}: {rate:,.0f} walker-steps/s "
-        f"(block {dt*1e3:.1f} ms, warm+compile {t_compile:.1f} s)  "
+        f"nconfig={nconfig} nsteps={nsteps}: {rate:,.0f} walker-steps/s"
+        f"{vsb} (block {dt*1e3:.1f} ms, warm+compile {t_compile:.1f} s)  "
         f"E/cell {e_cell:.4f} Ha (fixture KRKS {E_FIXTURE_PER_CELL}, "
         f"delta {e_cell - E_FIXTURE_PER_CELL:+.4f})"
     )
+    if profile:
+        def _steady(blk, p, w):
+            for _ in range(max(nwarm, 5)):
+                nonlocal_key = jax.random.fold_in(key, id(blk) % 1000)
+                p, w, a = blk(params, p, w, nonlocal_key)
+                _ = float(jax.tree.leaves(a)[0])
+            outs = []
+            t0 = time.perf_counter()
+            for r in range(nrep):
+                p, w, a = blk(params, p, w, jax.random.fold_in(key, r))
+                outs.append(a)
+            for a in outs:
+                _ = float(jax.tree.leaves(a)[0])
+            return (time.perf_counter() - t0) / nrep, p, w
+
+        move_blk = make_vmc_block(sj, {}, configs.geometry, tstep=0.5,
+                                  nsteps=nsteps)
+        t_move, pos, wrap = _steady(move_blk, pos, wrap)
+        noecp = {"energy": EnergyAccumulator(sup, ecp_acc=False)}
+        noecp_blk = make_vmc_block(sj, noecp, configs.geometry, tstep=0.5,
+                                   nsteps=nsteps)
+        t_noecp, pos, wrap = _steady(noecp_blk, pos, wrap)
+        print(
+            f"  profile (ms/step): move {t_move / nsteps * 1e3:.3f}, "
+            f"ecp {max(dt - t_noecp, 0.0) / nsteps * 1e3:.3f}, "
+            f"kinetic+ewald {max(t_noecp - t_move, 0.0) / nsteps * 1e3:.3f}"
+        )
     return rate, e_cell
 
 
@@ -176,5 +218,5 @@ if __name__ == "__main__":
     nconfig = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 500
     main(nconfig)
     if "--kernels-only" not in sys.argv:
-        e2e_vmc(nconfig, general_twist=False)
+        e2e_vmc(nconfig, general_twist=False, profile="--profile" in sys.argv)
         e2e_vmc(nconfig, general_twist=True)

@@ -1,8 +1,11 @@
 """H2O micro-benchmarks (counterpart of the reference's asv suite,
 benchmarks/h2o_benchmark.py:6-45). Times the individual wavefunction kernels
-on the current backend.
+on the current backend, on the SAME config the reference's asv suite uses:
+ccECP pseudopotential H2O in a cc-pVDZ-quality basis (the committed SCF
+checkpoint h2o_ccecp-ccpvdz_ccecp_scf.hdf5 is loaded so no SCF runs here).
 
-Run: python benchmarks/h2o_benchmark.py [nconfig]
+Run: python benchmarks/h2o_benchmark.py [nconfig] [basis] [ecp]
+     python benchmarks/h2o_benchmark.py 500 sto-3g none   # all-electron toy
 """
 
 import os
@@ -35,7 +38,7 @@ def timeit(name, fn, *args, nrep=5):
     return out
 
 
-def main(nconfig=500):
+def main(nconfig=500, basis="ccecp-ccpvdz", ecp="ccecp"):
     from pyqmc_tpu.system.mole import Molecule
     from pyqmc_tpu.system.scf import run_scf
     from pyqmc_tpu.models.slater import Slater
@@ -44,10 +47,22 @@ def main(nconfig=500):
     from pyqmc_tpu.observables.energy import kinetic_energy
     from pyqmc_tpu.configs import initial_guess
 
-    mol = Molecule(
-        "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867", basis="sto-3g"
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"h2o_{basis}_{ecp}_scf.hdf5".replace("/", "_"),
     )
-    mf = run_scf(mol)
+    if os.path.exists(cache):
+        import h5py
+        from pyqmc_tpu.system.io import load_system
+
+        with h5py.File(cache, "r") as f:
+            mol, mf = load_system(f)
+    else:
+        mol = Molecule(
+            "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+            basis=basis, ecp=ecp,
+        )
+        mf = run_scf(mol)
     slater = Slater.from_mean_field(mf)
     jastrow = JastrowSpin(mol)
     sp = slater.make_params()
@@ -55,7 +70,8 @@ def main(nconfig=500):
     configs = initial_guess(mol, nconfig, key=jax.random.PRNGKey(0))
     pos = configs.positions
     acc = EnergyAccumulator(mol)
-    print(f"backend={jax.default_backend()} nconfig={nconfig}")
+    print(f"backend={jax.default_backend()} nconfig={nconfig} "
+          f"basis={basis} ecp={ecp}")
 
     rec_s = jax.jit(lambda p, x: slater.recompute(p, x))
     st = timeit("slater recompute", rec_s, sp, pos)
@@ -82,4 +98,7 @@ def main(nconfig=500):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
+    nconfig = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    basis = sys.argv[2] if len(sys.argv) > 2 else "ccecp-ccpvdz"
+    ecp = sys.argv[3] if len(sys.argv) > 3 else "ccecp"
+    main(nconfig, basis, None if ecp in ("none", "None") else ecp)
