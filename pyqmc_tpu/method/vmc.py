@@ -35,7 +35,7 @@ def limdrift(g, cutoff=1.0):
 
 def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
                    drift_cutoff=1.0, mesh=None, accumulate_every=1,
-                   unroll=False):
+                   unroll=False, fused="auto"):
     """Build the jitted per-block VMC kernel.
 
     Returns block(params, positions, wrap, key) ->
@@ -52,10 +52,27 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
     counts loop bodies once, so rolled loops undercount by the trip count) —
     keep it False for production kernels (compile time scales with
     nelec*nsteps).
+
+    fused: "auto" (default) uses the fused Pallas sweep kernel
+    (ops/move_pallas.py) on TPU backends when the wavefunction pattern
+    supports it — the whole electron sweep runs in one kernel with the
+    walker state resident in VMEM, instead of ~30 HBM-round-tripping ops
+    per move. False disables; "interpret" forces the kernel in Pallas
+    interpreter mode (CPU testing).
     """
     nelec = wf.nelec
     accumulators = accumulators or {}
     axis = mesh.axis_names[0] if mesh is not None else None
+    fused_sweep = None
+    if fused and not unroll:
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if fused != "auto" or on_tpu:
+            from ..ops.move_pallas import build_fused_sweep
+
+            fused_sweep = build_fused_sweep(
+                wf, geometry, tstep=tstep, drift_cutoff=drift_cutoff,
+                interpret=(fused == "interpret"),
+            )
     # two-half move protocol: begin(old) -> (grad_old, aux),
     # finish(new, aux) -> (grad_new, ratio, saved). Slater reads its orbital
     # cache in begin (no AO eval); Jastrows reuse begin's u_old in finish so
@@ -130,9 +147,14 @@ def make_vmc_block(wf, accumulators, geometry, tstep=0.5, nsteps=10,
         def step_fn(carry, scanned):
             gauss_step, unif_step, akeys, do_acc = scanned
             positions, wrap, state = carry
-            positions, wrap, state, acc = sweep(
-                params, positions, wrap, state, gauss_step, unif_step
-            )
+            if fused_sweep is not None:
+                positions, wrap, state, acc = fused_sweep(
+                    params, positions, wrap, state, gauss_step, unif_step
+                )
+            else:
+                positions, wrap, state, acc = sweep(
+                    params, positions, wrap, state, gauss_step, unif_step
+                )
             out = {"acceptance": acc / nelec, "_accw": do_acc}
             for i, (name, a) in enumerate(accumulators.items()):
                 for k, v in a.avg(

@@ -1,0 +1,571 @@
+"""Pallas TPU kernel: fused Metropolis electron sweep for Slater-Jastrow.
+
+The XLA sweep (method/vmc.py ebody) runs ~30 small kernels per electron
+move — drift contraction, AO eval, MO matmul, det ratio, Jastrow delta,
+accept select, Sherman-Morrison, cache update — each round-tripping the
+(nconf, ...) walker state through HBM. At H2O production shapes every one
+of those ops is a (2048, small) operand: latency+bandwidth, no reuse.
+
+This kernel fuses ONE FULL SWEEP (all nelec moves) into a single
+pallas_call: the per-walker state (positions, per-spin determinant
+inverses, phase/logdet, the 4-slot orbital value+gradient cache, the
+Jastrow scalar U) lives in VMEM for the whole sweep, laid out
+features-on-sublanes x walkers-on-lanes, and only enters/leaves HBM once
+per step. The electron loop is fully unrolled (static spin/row indices),
+the AO value+gradient evaluation reuses the gto_pallas playbook
+(power/harmonic tables in registers), and the Jastrow radial bases are the
+same pure-jnp func3d formulas evaluated on (natom|nelec, T) tiles.
+
+Semantics are EXACTLY method/vmc.py's sweep for the supported pattern
+(reference semantics: pyqmc/method/mc.py:102-137):
+    MultiplyWF(Slater single-det [molecular, occ = first n orbitals],
+               JastrowSpin) -- or either factor alone -- with open-boundary
+    geometry and real dtype, consuming the same pre-drawn gauss/unif
+    arrays, so the fused and XLA paths produce identical chains to fp
+    rounding (tests/unit/test_move_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gto import GTOSpec
+from .harmonics import cart2sph_matrix, cart_components
+from ..models import func3d
+
+
+def _prep_groups(spec: GTOSpec):
+    groups = []
+    for g in spec.groups:
+        centers = spec.atom_coords[np.asarray(g.shell_atoms)]
+        C = cart2sph_matrix(g.l)
+        comps = cart_components(g.l)
+        groups.append((g.l, centers, np.asarray(g.alpha), np.asarray(g.coef),
+                       C, comps))
+    return groups
+
+
+def _emit_ao_valgrad(xt, table_refs, groups, nao):
+    """In-kernel AO value+gradient at points xt (3, T), concat shell order.
+
+    Returns (ao, gx, gy, gz) each (nao, T). Same derivative algebra as
+    ops/gto.eval_gto mode=1; adapted from gto_pallas.build_pallas_evaluator
+    with the laplacian terms dropped.
+    """
+    rows_v = [None] * nao
+    rows_g = [[None] * nao for _ in range(3)]
+    rowi = 0
+    for gi, (l, centers_np, alpha_np, coef_np, C_np, comps) in enumerate(groups):
+        cen = table_refs[3 * gi][:]  # (S, 3)
+        alpha = table_refs[3 * gi + 1][:]  # (S, P)
+        coef = table_refs[3 * gi + 2][:]  # (S, P)
+        S, P = alpha_np.shape
+        rx = xt[0][None, :] - cen[:, 0][:, None]  # (S, T)
+        ry = xt[1][None, :] - cen[:, 1][:, None]
+        rz = xt[2][None, :] - cen[:, 2][:, None]
+        r2 = rx * rx + ry * ry + rz * rz
+        g0 = jnp.zeros_like(r2)
+        g1 = jnp.zeros_like(r2)
+        for p in range(P):
+            a_p = alpha[:, p][:, None]
+            e = coef[:, p][:, None] * jnp.exp(-a_p * r2)
+            g0 = g0 + e
+            g1 = g1 + a_p * e
+        one = jnp.ones_like(rx)
+        pw = {0: [one, rx], 1: [one, ry], 2: [one, rz]}
+        for k in range(2, l + 1):
+            pw[0].append(pw[0][-1] * rx)
+            pw[1].append(pw[1][-1] * ry)
+            pw[2].append(pw[2][-1] * rz)
+
+        def mono(i, j, k):
+            return pw[0][i] * pw[1][j] * pw[2][k]
+
+        P_c = [mono(i, j, k) for (i, j, k) in comps]
+        dP = [[], [], []]
+        for (i, j, k) in comps:
+            for ax, n in enumerate((i, j, k)):
+                if n == 0:
+                    dP[ax].append(None)
+                else:
+                    e2 = [i, j, k]
+                    e2[ax] -= 1
+                    dP[ax].append(n * mono(*e2))
+        rvec = (rx, ry, rz)
+        nsph = 2 * l + 1
+        for q in range(nsph):
+            val = None
+            gcart = [None, None, None]
+            for c, (i, j, k) in enumerate(comps):
+                w = float(C_np[c, q])
+                if w == 0.0:
+                    continue
+                vt = P_c[c] * g0
+                val = w * vt if val is None else val + w * vt
+                for ax in range(3):
+                    gt = -2.0 * rvec[ax] * P_c[c] * g1
+                    if dP[ax][c] is not None:
+                        gt = gt + dP[ax][c] * g0
+                    gcart[ax] = w * gt if gcart[ax] is None else gcart[ax] + w * gt
+            for si in range(S):
+                # concat row order: shell-major, sph-minor within a group
+                rows_v[rowi + si * nsph + q] = val[si]
+                for ax in range(3):
+                    rows_g[ax][rowi + si * nsph + q] = gcart[ax][si]
+        rowi += S * nsph
+    ao = jnp.stack(rows_v, axis=0)
+    gx = jnp.stack(rows_g[0], axis=0)
+    gy = jnp.stack(rows_g[1], axis=0)
+    gz = jnp.stack(rows_g[2], axis=0)
+    return ao, gx, gy, gz
+
+
+def _basis_eval(b, r):
+    if b.kind == "polypade":
+        return func3d.polypade_all(r, b.param, b.rcut)
+    return func3d.cutoffcusp_all(r, b.param, b.rcut)
+
+
+def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
+                      interpret=False):
+    """Fused-sweep builder. Returns
+    sweep(params, positions, wrap, state, gauss_step, unif_step)
+      -> (positions, wrap, state, acc)
+    matching method/vmc.py's sweep contract, or None when the wavefunction/
+    geometry pattern is not supported (caller falls back to the XLA sweep).
+    """
+    if getattr(geometry, "lattice", None) is not None:
+        return None
+    # unpack MultiplyWF into (slater, jastrow); allow either alone
+    from ..models.multiply import MultiplyWF
+    from ..models.slater import Slater
+    from ..models.jastrow import JastrowSpin
+    from ..models.orbitals import MolecularOrbitals
+
+    factors = list(wf.wfs) if isinstance(wf, MultiplyWF) else [wf]
+    slater = None
+    jastrow = None
+    sl_idx = j_idx = None
+    for i, f in enumerate(factors):
+        if isinstance(f, Slater) and slater is None:
+            slater, sl_idx = f, i
+        elif isinstance(f, JastrowSpin) and jastrow is None:
+            jastrow, j_idx = f, i
+        else:
+            return None
+    if slater is None:
+        return None
+    orb = slater.orbitals
+    if not isinstance(orb, MolecularOrbitals):
+        return None
+    exp = slater.expansion
+    nup, ndn = slater.nup, slater.ndn
+    if nup == 0 or ndn == 0:
+        return None
+    if len(exp.map_up) != 1 or exp.occ_up.shape[0] != 1 or exp.occ_dn.shape[0] != 1:
+        return None
+    # occ must be the first n orbitals so the mog cache (all norb orbitals)
+    # coincides with the occ-selected columns the kernel maintains
+    if slater.orbitals.norb != (nup, ndn):
+        return None
+    if not (np.array_equal(exp.occ_up[0], np.arange(nup))
+            and np.array_equal(exp.occ_dn[0], np.arange(ndn))):
+        return None
+    if jastrow is not None:
+        if any(b.kind not in ("polypade", "cutoffcusp")
+               for b in jastrow.a_basis + jastrow.b_basis):
+            return None
+        if getattr(jastrow.geometry, "lattice", None) is not None:
+            return None
+
+    spec = orb.spec
+    nao = spec.nao
+    nelec = nup + ndn
+    groups = _prep_groups(spec)
+    concat_rows = np.argsort(spec.perm)  # AO order -> concat order
+    if jastrow is not None:
+        natom = jastrow.natom
+        na = len(jastrow.a_basis)
+        nb = len(jastrow.b_basis)
+        atom_coords = np.asarray(jastrow.atom_coords)
+        spin = np.asarray(jastrow._spin)  # (nelec,) 0/1
+        a_basis, b_basis = jastrow.a_basis, jastrow.b_basis
+
+    from ..models.slater import SlaterState
+    from ..models.jastrow import JastrowState
+
+    ngroups = len(groups)
+
+    def kernel(*refs):
+        # ---- unpack refs (order must match `inputs` below) ----------------
+        it = iter(range(len(refs)))
+        posr = refs[next(it)]
+        invur = refs[next(it)]
+        invdr = refs[next(it)]
+        phur = refs[next(it)]
+        ldur = refs[next(it)]
+        phdr = refs[next(it)]
+        lddr = refs[next(it)]
+        mogur = refs[next(it)]
+        mogdr = refs[next(it)]
+        gaussr = refs[next(it)]
+        unifr = refs[next(it)]
+        car = refs[next(it)]
+        cbr = refs[next(it)]
+        if jastrow is not None:
+            ur = refs[next(it)]
+            ac0r = refs[next(it)]
+            ac1r = refs[next(it)]
+            bc0r = refs[next(it)]
+            bc1r = refs[next(it)]
+            atomr = refs[next(it)]
+        tables = [refs[next(it)] for _ in range(3 * ngroups)]
+        opos = refs[next(it)]
+        oinvu = refs[next(it)]
+        oinvd = refs[next(it)]
+        ophu = refs[next(it)]
+        oldu = refs[next(it)]
+        ophd = refs[next(it)]
+        oldd = refs[next(it)]
+        omogu = refs[next(it)]
+        omogd = refs[next(it)]
+        if jastrow is not None:
+            ou = refs[next(it)]
+        onacc = refs[next(it)]
+
+        pos = posr[:]            # (3*nelec, T)
+        invs = {0: invur[:], 1: invdr[:]}   # (n*n, T)
+        phase = {0: phur[:], 1: phdr[:]}    # (1, T)
+        logdet = {0: ldur[:], 1: lddr[:]}
+        mog = {0: mogur[:], 1: mogdr[:]}    # (n*4*n, T)
+        cr = {0: car[:], 1: cbr[:]}         # (nao, n) concat-row order
+        gauss = gaussr[:]        # (3*nelec, T)
+        unif = unifr[:]          # (nelec, T)
+        T = pos.shape[1]
+        dtype = pos.dtype
+        if jastrow is not None:
+            u_j = ur[:][0]       # (T,)
+            acs = {0: ac0r[:], 1: ac1r[:]}  # (natom, na)
+            bcs = {0: bc0r[:], 1: bc1r[:]}  # (nb, nelec)
+            acoords = atomr[:]   # (natom, 3)
+        nacc = jnp.zeros((T,), dtype)
+
+        def jastrow_delta(ex, ey, ez, e, s):
+            """U terms + gradient for electron e at (ex, ey, ez) each (T,).
+
+            Mirrors JastrowSpin._delta_terms(want_derivs=True) minus the
+            laplacian. Returns (u (T,), [gx, gy, gz] each (T,))."""
+            # e-ion
+            dix = ex[None, :] - acoords[:, 0][:, None]
+            diy = ey[None, :] - acoords[:, 1][:, None]
+            diz = ez[None, :] - acoords[:, 2][:, None]
+            r_ei = jnp.sqrt(dix * dix + diy * diy + diz * diz)  # (natom, T)
+            u = jnp.zeros((T,), dtype)
+            g = [jnp.zeros((T,), dtype) for _ in range(3)]
+            ac = acs[s]
+            for k, b in enumerate(a_basis):
+                v, fo, _ = _basis_eval(b, r_ei)
+                w = ac[:, k][:, None]  # (natom, 1)
+                u = u + jnp.sum(w * v, axis=0)
+                for ax, d in enumerate((dix, diy, diz)):
+                    g[ax] = g[ax] + jnp.sum(w * fo * d, axis=0)
+            # e-e (all other electrons at their current positions)
+            pex = pos.reshape(nelec, 3, T)
+            dex = ex[None, :] - pex[:, 0, :]  # (nelec, T)
+            dey = ey[None, :] - pex[:, 1, :]
+            dez = ez[None, :] - pex[:, 2, :]
+            r_ee = jnp.sqrt(dex * dex + dey * dey + dez * dez)
+            eidx = jax.lax.broadcasted_iota(jnp.int32, (nelec, 1), 0)
+            notself = (eidx != e).astype(dtype)
+            bc = bcs[s]
+            for k, b in enumerate(b_basis):
+                v, fo, _ = _basis_eval(b, r_ee)
+                w = bc[k, :][:, None] * notself  # (nelec, 1)
+                u = u + jnp.sum(w * v, axis=0)
+                for ax, d in enumerate((dex, dey, dez)):
+                    g[ax] = g[ax] + jnp.sum(w * fo * d, axis=0)
+            return u, g
+
+        def limdrift(g):
+            tot = jnp.sqrt(g[0] * g[0] + g[1] * g[1] + g[2] * g[2])
+            scale = jnp.where(tot > drift_cutoff, drift_cutoff / tot, 1.0)
+            return [gi * scale for gi in g]
+
+        for e in range(nelec):
+            s = 0 if e < nup else 1
+            n = nup if s == 0 else ndn
+            row = e if s == 0 else e - nup
+            inv = invs[s].reshape(n, n, T)
+            mg = mog[s].reshape(n, 4, n, T)
+            ex, ey, ez = pos[3 * e], pos[3 * e + 1], pos[3 * e + 2]
+
+            # --- move_begin: drift at the current position ---------------
+            # Slater: det-ratio contraction on the cached value+grad MOs
+            invrow = [inv[j, row] for j in range(n)]  # each (T,)
+            r4 = []
+            for slot in range(4):
+                acc = None
+                for j in range(n):
+                    term = mg[row, slot, j] * invrow[j]
+                    acc = term if acc is None else acc + term
+                r4.append(acc)
+            g_old = [r4[1 + ax] / r4[0] for ax in range(3)]
+            if jastrow is not None:
+                u_old_e, gj = jastrow_delta(ex, ey, ez, e, s)
+                g_old = [g_old[ax] + gj[ax] for ax in range(3)]
+            drift_old = limdrift(g_old)
+
+            # --- propose (open boundary: no wrap) ------------------------
+            gx_e = gauss[3 * e]
+            gy_e = gauss[3 * e + 1]
+            gz_e = gauss[3 * e + 2]
+            nx = ex + gx_e + tstep * drift_old[0]
+            ny = ey + gy_e + tstep * drift_old[1]
+            nz = ez + gz_e + tstep * drift_old[2]
+
+            # --- move_finish: AO+MO value/grad at the proposal -----------
+            xt = jnp.stack([nx, ny, nz], axis=0)  # (3, T)
+            ao, gxa, gya, gza = _emit_ao_valgrad(xt, tables, groups, nao)
+            crs = cr[s]  # (nao, n)
+            mo = jnp.dot(crs.T, ao, preferred_element_type=dtype)  # (n, T)
+            gmo = [jnp.dot(crs.T, ga, preferred_element_type=dtype)
+                   for ga in (gxa, gya, gza)]
+            ratio_sl = None
+            for j in range(n):
+                term = mo[j] * invrow[j]
+                ratio_sl = term if ratio_sl is None else ratio_sl + term
+            g_new = []
+            for ax in range(3):
+                acc = None
+                for j in range(n):
+                    term = gmo[ax][j] * invrow[j]
+                    acc = term if acc is None else acc + term
+                g_new.append(acc / ratio_sl)
+            # gradient_value's ratio is the raw row contraction (the cached
+            # current-value contraction r4[0] is exactly 1 in the XLA path)
+            ratio = ratio_sl
+            if jastrow is not None:
+                u_new_e, gj = jastrow_delta(nx, ny, nz, e, s)
+                du = u_new_e - u_old_e
+                ratio = ratio * jnp.exp(du)
+                g_new = [g_new[ax] + gj[ax] for ax in range(3)]
+            drift_new = limdrift(g_new)
+
+            # --- Metropolis accept --------------------------------------
+            forward = gx_e * gx_e + gy_e * gy_e + gz_e * gz_e
+            bx = gx_e + tstep * (drift_old[0] + drift_new[0])
+            by = gy_e + tstep * (drift_old[1] + drift_new[1])
+            bz = gz_e + tstep * (drift_old[2] + drift_new[2])
+            backward = bx * bx + by * by + bz * bz
+            t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
+            accept = (jnp.abs(ratio) ** 2 * t_prob) > unif[e]  # (T,) bool
+            accf = accept.astype(dtype)
+            nacc = nacc + accf
+
+            # --- updateinternals: Sherman-Morrison + caches -------------
+            tvec = []
+            for j in range(n):
+                acc = None
+                for k in range(n):
+                    term = mo[k] * inv[k, j]
+                    acc = term if acc is None else acc + term
+                tvec.append(acc)  # t_j = sum_k mo_k inv[k, j]
+            rsm = tvec[row]  # det ratio of the row replacement
+            inv_rows = []
+            for i in range(n):
+                col_i = inv[i, row]
+                rr = []
+                for j in range(n):
+                    if j == row:
+                        newv = col_i / rsm
+                    else:
+                        newv = inv[i, j] - col_i * tvec[j] / rsm
+                    rr.append(jnp.where(accept, newv, inv[i, j]))
+                inv_rows.append(jnp.stack(rr, axis=0))
+            invs[s] = jnp.stack(inv_rows, axis=0).reshape(n * n, T)
+            absr = jnp.abs(rsm)
+            safe = jnp.where(absr == 0, 1.0, absr)
+            phase[s] = jnp.where(
+                accept[None, :], phase[s] * (rsm / safe)[None, :], phase[s]
+            )
+            logdet[s] = jnp.where(
+                accept[None, :], logdet[s] + jnp.log(safe)[None, :], logdet[s]
+            )
+            # orbital cache rows for electron `row`: [value; grad]
+            mgrows = []
+            for i in range(n):
+                for slot in range(4):
+                    for j in range(n):
+                        if i == row:
+                            newv = (mo[j] if slot == 0 else gmo[slot - 1][j])
+                            mgrows.append(jnp.where(accept, newv, mg[i, slot, j]))
+                        else:
+                            mgrows.append(mg[i, slot, j])
+            mog[s] = jnp.stack(mgrows, axis=0)
+            # positions
+            prow = []
+            for i in range(3 * nelec):
+                if i == 3 * e:
+                    prow.append(jnp.where(accept, nx, pos[i]))
+                elif i == 3 * e + 1:
+                    prow.append(jnp.where(accept, ny, pos[i]))
+                elif i == 3 * e + 2:
+                    prow.append(jnp.where(accept, nz, pos[i]))
+                else:
+                    prow.append(pos[i])
+            pos = jnp.stack(prow, axis=0)
+            if jastrow is not None:
+                u_j = jnp.where(accept, u_j + du, u_j)
+
+        # ---- write back ---------------------------------------------------
+        opos[:] = pos
+        oinvu[:] = invs[0]
+        oinvd[:] = invs[1]
+        ophu[:] = phase[0]
+        oldu[:] = logdet[0]
+        ophd[:] = phase[1]
+        oldd[:] = logdet[1]
+        omogu[:] = mog[0]
+        omogd[:] = mog[1]
+        if jastrow is not None:
+            ou[:] = u_j[None, :]
+        onacc[:] = nacc[None, :]
+
+    def sweep(params, positions, wrap, state, gauss_step, unif_step):
+        """Drop-in for method/vmc.py's sweep: one fused-kernel call."""
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+        t = tile or (256 if nconf % 256 == 0 and nconf >= 256 else 128)
+        # pad the walker (lane) axis to a tile multiple with edge replicas;
+        # padded lanes run the same chain and are discarded on output
+        Mp = ((nconf + t - 1) // t) * t
+        npad = Mp - nconf
+        grid = (Mp // t,)
+
+        def padw(x):
+            return jnp.pad(x, ((0, 0), (0, npad)), mode="edge") if npad else x
+
+        if isinstance(wf, MultiplyWF):
+            sl_state = state[sl_idx]
+            sl_params = params[f"wf{sl_idx}"]
+        else:
+            sl_state = state
+            sl_params = params
+
+        def tcol(x, rows):
+            # (nconf, ...) -> (rows, nconf): feature-major, walkers on lanes
+            return x.reshape(nconf, rows).T
+
+        pos_t = tcol(positions, 3 * nelec)
+        invu = tcol(sl_state.inv_up, nup * nup)
+        invd = tcol(sl_state.inv_dn, ndn * ndn)
+        phu = tcol(sl_state.phase_up, 1)
+        ldu = tcol(sl_state.logdet_up, 1)
+        phd = tcol(sl_state.phase_dn, 1)
+        ldd = tcol(sl_state.logdet_dn, 1)
+        mogu = tcol(sl_state.mog_up, nup * 4 * nup)
+        mogd = tcol(sl_state.mog_dn, ndn * 4 * ndn)
+        gauss_t = gauss_step.transpose(0, 2, 1).reshape(3 * nelec, nconf)
+        unif_t = unif_step
+        ca = sl_params["mo_coeff_alpha"][jnp.asarray(concat_rows)]
+        cb = sl_params["mo_coeff_beta"][jnp.asarray(concat_rows)]
+
+        inputs = [padw(x) for x in (pos_t, invu, invd, phu, ldu, phd, ldd,
+                                    mogu, mogd, gauss_t, unif_t)] + [ca, cb]
+        blocked = [3 * nelec, nup * nup, ndn * ndn, 1, 1, 1, 1,
+                   nup * 4 * nup, ndn * 4 * ndn, 3 * nelec, nelec]
+        in_specs = [
+            pl.BlockSpec((r, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in blocked
+        ]
+        in_specs += [
+            pl.BlockSpec(ca.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if jastrow is not None:
+            j_state = state[j_idx]
+            j_params = params[f"wf{j_idx}"]
+            u_t = padw(j_state.u.reshape(nconf, 1).T)
+            ac = j_params["acoeff"]  # (natom, na, 2)
+            bc = j_params["bcoeff"]  # (nb, 3)
+            spin_j = jnp.asarray(spin)
+            extras = [u_t, ac[:, :, 0], ac[:, :, 1],
+                      bc[:, spin_j], bc[:, 1 + spin_j],
+                      jnp.asarray(atom_coords, dtype)]
+            inputs += extras
+            in_specs += [
+                pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec(x.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for x in extras[1:]
+            ]
+        for (l, centers, alpha, coef, C, comps) in groups:
+            for arr in (centers, alpha, coef):
+                a = jnp.asarray(arr, dtype)
+                inputs.append(a)
+                in_specs.append(pl.BlockSpec(
+                    a.shape,
+                    functools.partial(lambda nd, i: (0,) * nd, a.ndim),
+                    memory_space=pltpu.VMEM,
+                ))
+
+        out_rows = [3 * nelec, nup * nup, ndn * ndn, 1, 1, 1, 1,
+                    nup * 4 * nup, ndn * 4 * ndn]
+        if jastrow is not None:
+            out_rows.append(1)
+        out_rows.append(1)  # nacc
+        out_shape = [jax.ShapeDtypeStruct((r, Mp), dtype) for r in out_rows]
+        out_specs = [
+            pl.BlockSpec((r, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in out_rows
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*inputs)
+        outs = [o[:, :nconf] for o in outs]
+        (pos_o, invu_o, invd_o, phu_o, ldu_o, phd_o, ldd_o, mogu_o,
+         mogd_o, *rest) = outs
+        if jastrow is not None:
+            u_o, nacc = rest
+        else:
+            (nacc,) = rest
+
+        positions_o = pos_o.T.reshape(nconf, nelec, 3)
+        new_sl = SlaterState(
+            inv_up=invu_o.T.reshape(nconf, 1, nup, nup),
+            inv_dn=invd_o.T.reshape(nconf, 1, ndn, ndn),
+            phase_up=phu_o.T.reshape(nconf, 1),
+            logdet_up=ldu_o.T.reshape(nconf, 1),
+            phase_dn=phd_o.T.reshape(nconf, 1),
+            logdet_dn=ldd_o.T.reshape(nconf, 1),
+            mog_up=mogu_o.T.reshape(nconf, nup, 4, nup),
+            mog_dn=mogd_o.T.reshape(nconf, ndn, 4, ndn),
+        )
+        if isinstance(wf, MultiplyWF):
+            new_state = list(state)
+            new_state[sl_idx] = new_sl
+            if jastrow is not None:
+                new_state[j_idx] = JastrowState(
+                    positions=positions_o, u=u_o.T.reshape(nconf)
+                )
+            new_state = tuple(new_state)
+        else:
+            new_state = new_sl
+        # acc: sum over electrons of the per-electron mean acceptance ==
+        # mean over walkers of the per-walker accept count
+        acc = jnp.mean(nacc)
+        return positions_o, wrap, new_state, acc
+
+    return sweep
