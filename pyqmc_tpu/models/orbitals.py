@@ -61,10 +61,14 @@ class MolecularOrbitals:
         # keeps in VMEM (measured: the H2O ECP sweep's AO eval drops
         # 113 us -> ~15 us per step at 98k aux points)
         self._fused0 = None
+        self._fused0_t = None
         if on_tpu:
-            from ..ops.gto_pallas import fused_value_mo
+            from ..ops.gto_pallas import fused_value_mo, fused_value_mo_t
 
             self._fused0 = fused_value_mo(
+                self.spec, self._ca.shape[1] + self._cb.shape[1]
+            )
+            self._fused0_t = fused_value_mo_t(
                 self.spec, self._ca.shape[1] + self._cb.shape[1]
             )
             # concat shell-row order: row j of the kernel's AO tile is AO
@@ -76,6 +80,18 @@ class MolecularOrbitals:
             "mo_coeff_alpha": jnp.asarray(self._ca),
             "mo_coeff_beta": jnp.asarray(self._cb),
         }
+
+    def eval_mo_t(self, params, X):
+        """Transposed value-only MOs: X (M, 3) -> (norb_up + norb_dn, M),
+        points on the minor axis (the fused kernel's native layout — no
+        relayout transpose; see ops/gto_pallas.fused_value_mo_t). Falls
+        back to an explicit transpose of the XLA path off-TPU."""
+        ca, cb = params["mo_coeff_alpha"], params["mo_coeff_beta"]
+        if self._fused0_t is not None and X.dtype == jnp.float32:
+            cr = jnp.concatenate([ca, cb], axis=1)[self._concat_rows]
+            return self._fused0_t(X, cr.astype(X.dtype))
+        ao = eval_gto(self.spec, X, 0)
+        return (ao @ jnp.concatenate([ca, cb], axis=1)).T
 
     def eval(self, params, X, mode: int):
         """X (..., 3) -> per-spin MO arrays.
