@@ -75,15 +75,19 @@ def slogdet_inv(a):
     """(phase, logabsdet, inverse) for batched square matrices.
 
     phase is +-1 for real dtypes, unit-modulus complex for complex dtypes.
-    Complex inputs on TPU take the custom LU path (XLA:TPU has no complex
-    LuDecomposition); everywhere else uses the library LU.
+    On TPU, complex inputs AND small real blocks take the custom batched
+    Gauss-Jordan path: XLA:TPU has no complex LuDecomposition, and its
+    LuDecompositionBlock custom-call is catastrophically slow for tiny
+    batched matrices (measured 2.1 ms per call for (2048, 4, 4) on v5e —
+    ~8 ms of every VMC block's recompute; the n sequential rank-1 updates
+    of the jnp path are microseconds of VPU work).
     """
     n = a.shape[-1]
     if n == 0:
         shape = a.shape[:-2]
         one = jnp.ones(shape, dtype=a.dtype)
         return one, jnp.zeros(shape, jnp.real(a).dtype), jnp.zeros_like(a)
-    if jnp.iscomplexobj(a) and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and (jnp.iscomplexobj(a) or n <= 32):
         return _lu_slogdet_inv(a)
     phase, logabs = jnp.linalg.slogdet(a)
     # jnp.linalg.inv broadcasts an unbatched identity, which breaks under
