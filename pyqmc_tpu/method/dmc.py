@@ -40,14 +40,26 @@ def limdrift_umrigar(g, tau):
 
 
 def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
-               tdamp=None, tmoves=True, accumulators=None):
+               tdamp=None, tmoves=True, accumulators=None, fused="auto"):
     """Raw (unjitted) DMC kernels: the propagation `block` and the comb
     `branch`, wrapped by make_dmc_block.
 
     tdamp=None (default) uses the per-walker effective-timestep ratio
-    r2_accepted / r2_proposed (dmc.py:192); pass a float to fix it."""
+    r2_accepted / r2_proposed (dmc.py:192); pass a float to fix it.
+    fused: use the fused Pallas drift-diffusion sweep (ops/move_pallas.py
+    mode="dmc") on TPU when the wavefunction pattern supports it."""
     axis = mesh.axis_names[0] if mesh is not None else None
     nelec = wf.nelec
+    fused_sweep = None
+    if fused:
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if fused != "auto" or on_tpu:
+            from ..ops.move_pallas import build_fused_sweep
+
+            fused_sweep = build_fused_sweep(
+                wf, geometry, tstep=tstep, mode="dmc",
+                interpret=(fused == "interpret"),
+            )
     ecp_acc = getattr(energy_acc, "ecp_acc", None)
     do_tmoves = tmoves and ecp_acc is not None and ecp_acc.active
     # two-half move protocol (see method/vmc.py): begin(old) reads cached
@@ -230,9 +242,14 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
                     params, positions, wrap, state,
                     x["tqkeys"], x["u_sel"], x["u_acc"],
                 )
-            positions, wrap, state, (acc, r2p, r2a) = sweep(
-                params, positions, wrap, state, x["gauss"], x["unif"]
-            )
+            if fused_sweep is not None:
+                positions, wrap, state, (acc, r2p, r2a) = fused_sweep(
+                    params, positions, wrap, state, x["gauss"], x["unif"]
+                )
+            else:
+                positions, wrap, state, (acc, r2p, r2a) = sweep(
+                    params, positions, wrap, state, x["gauss"], x["unif"]
+                )
             edat = energy_acc(wf, params, state, positions, key=x["ekey"])
             S_new = compute_S(e_trial, e_est, esigma, edat["total"], edat["grad2"])
             # effective-timestep damping: the accepted fraction of the
@@ -296,11 +313,11 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
 
 
 def make_dmc_block(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
-                   tdamp=None, tmoves=True, accumulators=None):
+                   tdamp=None, tmoves=True, accumulators=None, fused="auto"):
     """Jitted (block, branch) pair; see _dmc_parts for kernel semantics."""
     block, branch, axis = _dmc_parts(
         wf, energy_acc, geometry, tstep, nsteps, mesh=mesh, tdamp=tdamp,
-        tmoves=tmoves, accumulators=accumulators,
+        tmoves=tmoves, accumulators=accumulators, fused=fused,
     )
     if mesh is None:
         return jax.jit(block), jax.jit(branch)

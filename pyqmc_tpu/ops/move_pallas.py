@@ -133,12 +133,17 @@ def _basis_eval(b, r):
 
 
 def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
-                      interpret=False):
+                      interpret=False, mode="vmc"):
     """Fused-sweep builder. Returns
     sweep(params, positions, wrap, state, gauss_step, unif_step)
-      -> (positions, wrap, state, acc)
-    matching method/vmc.py's sweep contract, or None when the wavefunction/
-    geometry pattern is not supported (caller falls back to the XLA sweep).
+      -> (positions, wrap, state, acc)                      [mode="vmc"]
+      -> (positions, wrap, state, (acc, r2p, r2a))          [mode="dmc"]
+    matching method/vmc.py's (resp. method/dmc.py's drift-diffusion)
+    sweep contract, or None when the wavefunction/geometry pattern is not
+    supported (caller falls back to the XLA sweep). mode="dmc" applies
+    Umrigar drift limiting, fixed-node sign rejection, and returns the
+    per-walker proposed/accepted squared-displacement sums the effective-
+    timestep damping needs (method/dmc.py sweep, reference dmc.py:22-70).
     """
     if getattr(geometry, "lattice", None) is not None:
         return None
@@ -238,6 +243,9 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
         if jastrow is not None:
             ou = refs[next(it)]
         onacc = refs[next(it)]
+        if mode == "dmc":
+            or2p = refs[next(it)]
+            or2a = refs[next(it)]
 
         pos = posr[:]            # (3*nelec, T)
         invs = {0: invur[:], 1: invdr[:]}   # (n*n, T)
@@ -293,9 +301,19 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
             return u, g
 
         def limdrift(g):
+            if mode == "dmc":
+                # Umrigar: v * (sqrt(1 + 2 v^2 tau) - 1) / (v^2 tau)
+                v2 = g[0] * g[0] + g[1] * g[1] + g[2] * g[2]
+                taueff = jnp.maximum(v2 * tstep, 1e-12)
+                fac = (jnp.sqrt(1.0 + 2.0 * taueff) - 1.0) / taueff
+                return [gi * fac for gi in g]
             tot = jnp.sqrt(g[0] * g[0] + g[1] * g[1] + g[2] * g[2])
             scale = jnp.where(tot > drift_cutoff, drift_cutoff / tot, 1.0)
             return [gi * scale for gi in g]
+
+        if mode == "dmc":
+            r2p = jnp.zeros((T,), dtype)
+            r2a = jnp.zeros((T,), dtype)
 
         for e in range(nelec):
             s = 0 if e < nup else 1
@@ -364,9 +382,20 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
             bz = gz_e + tstep * (drift_old[2] + drift_new[2])
             backward = bx * bx + by * by + bz * bz
             t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
-            accept = (jnp.abs(ratio) ** 2 * t_prob) > unif[e]  # (T,) bool
+            accept_prob = jnp.abs(ratio) ** 2 * t_prob
+            if mode == "dmc":
+                # fixed-node: reject node crossings (real dtype only here)
+                accept_prob = jnp.where(ratio <= 0, 0.0, accept_prob)
+            accept = accept_prob > unif[e]  # (T,) bool
             accf = accept.astype(dtype)
             nacc = nacc + accf
+            if mode == "dmc":
+                px = gx_e + tstep * drift_old[0]
+                py = gy_e + tstep * drift_old[1]
+                pz = gz_e + tstep * drift_old[2]
+                r2 = px * px + py * py + pz * pz
+                r2p = r2p + r2
+                r2a = r2a + jnp.where(accept, r2, 0.0)
 
             # --- updateinternals: Sherman-Morrison + caches -------------
             tvec = []
@@ -436,6 +465,9 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
         if jastrow is not None:
             ou[:] = u_j[None, :]
         onacc[:] = nacc[None, :]
+        if mode == "dmc":
+            or2p[:] = r2p[None, :]
+            or2a[:] = r2a[None, :]
 
     def sweep(params, positions, wrap, state, gauss_step, unif_step):
         """Drop-in for method/vmc.py's sweep: one fused-kernel call."""
@@ -521,6 +553,8 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
         if jastrow is not None:
             out_rows.append(1)
         out_rows.append(1)  # nacc
+        if mode == "dmc":
+            out_rows += [1, 1]  # r2p, r2a
         out_shape = [jax.ShapeDtypeStruct((r, Mp), dtype) for r in out_rows]
         out_specs = [
             pl.BlockSpec((r, t), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -537,6 +571,9 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
         outs = [o[:, :nconf] for o in outs]
         (pos_o, invu_o, invd_o, phu_o, ldu_o, phd_o, ldd_o, mogu_o,
          mogd_o, *rest) = outs
+        r2p_o = r2a_o = None
+        if mode == "dmc":
+            *rest, r2p_o, r2a_o = rest
         if jastrow is not None:
             u_o, nacc = rest
         else:
@@ -566,6 +603,10 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
         # acc: sum over electrons of the per-electron mean acceptance ==
         # mean over walkers of the per-walker accept count
         acc = jnp.mean(nacc)
+        if mode == "dmc":
+            return positions_o, wrap, new_state, (
+                acc, r2p_o.reshape(nconf), r2a_o.reshape(nconf)
+            )
         return positions_o, wrap, new_state, acc
 
     return sweep

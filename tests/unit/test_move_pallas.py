@@ -118,6 +118,65 @@ def test_fused_block_matches_xla_block(rng):
     )
 
 
+def test_fused_dmc_sweep_matches_reference(rng):
+    """mode='dmc': Umrigar drift, fixed-node rejection, r2 stats — vs a
+    literal copy of method/dmc.py's drift-diffusion sweep semantics."""
+    from pyqmc_tpu.method.dmc import limdrift_umrigar
+
+    mol, wf, params = _h2o_sj(rng)
+    nconf, nelec = 10, wf.nelec
+    tstep = 0.02
+    positions = jnp.asarray(rng.normal(scale=1.5, size=(nconf, nelec, 3)))
+    geometry = Geometry(None)
+    state = wf.recompute(params, positions)
+    gauss = jnp.asarray(rng.normal(size=(nelec, nconf, 3)) * np.sqrt(tstep))
+    unif = jnp.asarray(rng.uniform(size=(nelec, nconf)))
+    fused = build_fused_sweep(wf, geometry, tstep=tstep, interpret=True,
+                              mode="dmc")
+    assert fused is not None
+    wrap = jnp.zeros((nconf, nelec, 3), jnp.int32)
+    p_f, _, st_f, (acc_f, r2p_f, r2a_f) = fused(
+        params, positions, wrap, state, gauss, unif
+    )
+
+    # reference (method/dmc.py sweep semantics, open boundary)
+    pos_r, st_r = positions, state
+    acc_tot = 0.0
+    r2p = jnp.zeros(nconf)
+    r2a = jnp.zeros(nconf)
+    for e_ in range(nelec):
+        e = jnp.int32(e_)
+        epos = pos_r[:, e_, :]
+        grad_old, aux = default_move_begin(wf, params, st_r, e, epos)
+        drift_old = limdrift_umrigar(grad_old, tstep)
+        newpos = epos + gauss[e_] + tstep * drift_old
+        grad_new, ratio, saved = default_move_finish(
+            wf, params, st_r, e, newpos, aux
+        )
+        drift_new = limdrift_umrigar(grad_new, tstep)
+        forward = jnp.sum(gauss[e_] ** 2, axis=-1)
+        backward = jnp.sum(
+            (gauss[e_] + tstep * (drift_old + drift_new)) ** 2, axis=-1
+        )
+        t_prob = jnp.exp((forward - backward) / (2.0 * tstep))
+        ap = jnp.abs(ratio) ** 2 * t_prob
+        ap = jnp.where(jnp.real(ratio) <= 0, 0.0, ap)
+        accept = ap > unif[e_]
+        st_r = wf.updateinternals(params, st_r, e, newpos, accept, saved)
+        pos_r = pos_r.at[:, e_, :].set(jnp.where(accept[:, None], newpos, epos))
+        r2 = jnp.sum((gauss[e_] + tstep * drift_old) ** 2, axis=-1)
+        r2p = r2p + r2
+        r2a = r2a + jnp.where(accept, r2, 0.0)
+        acc_tot += float(jnp.mean(accept))
+
+    np.testing.assert_allclose(p_f, pos_r, atol=1e-10)
+    np.testing.assert_allclose(float(acc_f), acc_tot, atol=1e-12)
+    np.testing.assert_allclose(r2p_f, r2p, atol=1e-10)
+    np.testing.assert_allclose(r2a_f, r2a, atol=1e-10)
+    for lf, lr in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_r)):
+        np.testing.assert_allclose(lf, lr, atol=1e-9)
+
+
 def test_gating():
     """Unsupported patterns return None (caller falls back to XLA sweep)."""
     mol = Molecule("He 0 0 0", basis="sto-3g")
