@@ -325,6 +325,36 @@ _BUILTIN = {
             [0, [0.187387, 1.0]],
             [1, [0.126772, 1.0]],
         ],
+        # N: published digits unavailable offline — contractions fitted from
+        # scratch with system.basis_fit against the (published-digit) ccECP
+        # N pseudopotential, same recipe as the O entry below: the
+        # pseudo-atom's own UHF radials in an even-tempered sea, split
+        # valence, d polarization 0.85 (interpolating C 0.56116 / O 1.2).
+        # Quality: N-atom UHF -9.91024 vs -9.91490 uncontracted sea
+        # (4.7 mHa contraction error). Regenerate: tools/fit scripts /
+        # basis_fit.fit_atomic_valence_basis("N", ecp="ccecp",
+        # occ_l=(0, 1), free_exps={2: [0.85]}).
+        "N": [
+            [
+                0,
+                [0.045, 0.0015232], [0.09, 0.0161267], [0.18, 0.2076286],
+                [0.36, 0.414364], [0.72, 0.3941699], [1.44, 0.1207583],
+                [2.88, -0.0426754], [5.76, -0.165426], [11.52, -0.0068691],
+                [23.04, 0.0192015], [46.08, -0.0070153], [92.16, 0.0028039],
+                [184.32, -0.0011719], [368.64, 0.0004631],
+                [737.28, -0.000151],
+            ],
+            [0, [0.18, 1.0]],
+            [
+                1,
+                [0.045, 0.0023371], [0.09, 0.0438384], [0.18, 0.1579924],
+                [0.36, 0.2508084], [0.72, 0.2552181], [1.44, 0.1917067],
+                [2.88, 0.1114367], [5.76, 0.0543583], [11.52, 0.0157192],
+                [23.04, 0.0007916],
+            ],
+            [1, [0.18, 1.0]],
+            [2, [0.85, 1.0]],
+        ],
     },
 }
 
