@@ -29,6 +29,21 @@ def boys(n_max: int, x: np.ndarray) -> np.ndarray:
     return out
 
 
+_EINSUM_PATHS = {}
+
+
+def _einsum_cached(expr, *ops):
+    """np.einsum with the contraction path cached by (expr, shapes) —
+    einsum_path recomputation was ~16% of ERI construction (it runs the
+    greedy optimizer on every call)."""
+    key = (expr,) + tuple(op.shape for op in ops)
+    path = _EINSUM_PATHS.get(key)
+    if path is None:
+        path, _ = np.einsum_path(expr, *ops, optimize="greedy")
+        _EINSUM_PATHS[key] = path
+    return np.einsum(expr, *ops, optimize=path)
+
+
 def _hermite_E(la, lb, PA, PB, p):
     """Hermite expansion coefficients E[i, j, t] for one dimension.
 
@@ -62,42 +77,41 @@ def _hermite_E(la, lb, PA, PB, p):
 def _hermite_R(tmax, umax, vmax, p, PC):
     """Hermite Coulomb integrals R[t, u, v] (npair,) arrays.
 
-    R^0_{tuv}(p, PC) built from Boys functions by downward recursion.
+    R^0_{tuv}(p, PC) built from Boys functions by downward recursion,
+    filled iteratively as dense (t, u, v, npair) tables per auxiliary
+    order n (the previous memoized Python recursion cost ~1.3k dict-churn
+    calls per invocation and dominated ERI construction for big seas).
+    Recurrences (t-axis used whenever t > 0, then u, then v):
+      R^n_{t,u,v} = X R^{n+1}_{t-1,u,v} + (t-1) R^{n+1}_{t-2,u,v}
+      R^n_{0,u,v} = Y R^{n+1}_{0,u-1,v} + (u-1) R^{n+1}_{0,u-2,v}
+      R^n_{0,0,v} = Z R^{n+1}_{0,0,v-1} + (v-1) R^{n+1}_{0,0,v-2}
+      R^n_{0,0,0} = (-2p)^n F_n
     """
     nmax = tmax + umax + vmax
     x = p * np.sum(PC * PC, axis=-1)
     F = boys(nmax, x)  # (nmax+1, npair)
-    # R^n arrays, start with R^n_{000} = (-2p)^n F_n
     npair = x.shape[0]
-    Rn = {(0, 0, 0, n): ((-2.0 * p) ** n) * F[n] for n in range(nmax + 1)}
-
-    def get(t, u, v, n):
-        if t < 0 or u < 0 or v < 0:
-            return 0.0
-        key = (t, u, v, n)
-        if key in Rn:
-            return Rn[key]
-        if t > 0:
-            val = PC[:, 0] * get(t - 1, u, v, n + 1)
-            if t > 1:
-                val = val + (t - 1) * get(t - 2, u, v, n + 1)
-        elif u > 0:
-            val = PC[:, 1] * get(t, u - 1, v, n + 1)
-            if u > 1:
-                val = val + (u - 1) * get(t, u - 2, v, n + 1)
-        else:
-            val = PC[:, 2] * get(t, u, v - 1, n + 1)
-            if v > 1:
-                val = val + (v - 1) * get(t, u, v - 2, n + 1)
-        Rn[key] = val
-        return val
-
-    R = np.zeros((tmax + 1, umax + 1, vmax + 1, npair))
-    for t in range(tmax + 1):
-        for u in range(umax + 1):
-            for v in range(vmax + 1):
-                R[t, u, v] = get(t, u, v, 0)
-    return R
+    X, Y, Z = PC[:, 0], PC[:, 1], PC[:, 2]
+    m2p = -2.0 * p
+    prev = None
+    for n in range(nmax, -1, -1):
+        Rn = np.zeros((tmax + 1, umax + 1, vmax + 1, npair))
+        Rn[0, 0, 0] = (m2p**n) * F[n]
+        if prev is not None:
+            for v in range(1, vmax + 1):
+                Rn[0, 0, v] = Z * prev[0, 0, v - 1]
+                if v > 1:
+                    Rn[0, 0, v] += (v - 1) * prev[0, 0, v - 2]
+            for u in range(1, umax + 1):
+                Rn[0, u, :] = Y * prev[0, u - 1, :]
+                if u > 1:
+                    Rn[0, u, :] += (u - 1) * prev[0, u - 2, :]
+            for t in range(1, tmax + 1):
+                Rn[t] = X * prev[t - 1]
+                if t > 1:
+                    Rn[t] += (t - 1) * prev[t - 2]
+        prev = Rn
+    return prev
 
 
 class _ShellPair:
@@ -257,80 +271,112 @@ def nuclear(mol, charges=None, centers=None):
 
 
 def eri(mol):
-    """Full (nao, nao, nao, nao) spherical ERI tensor (chemist's (ij|kl))."""
+    """Full (nao, nao, nao, nao) spherical ERI tensor (chemist's (ij|kl)).
+
+    Ket shell pairs are grouped by (lc, ld) and processed as ONE batched
+    Hermite-R + einsum per bra pair, with the primitive-pair axis carrying
+    the whole group (per-pair contraction recovered by a reduceat segment
+    sum). This replaces the former per-(bra, ket) Python loop — O(npairs^2)
+    iterations whose fixed numpy overhead dominated large even-tempered
+    seas (the ECP generator's 3d-metal all-electron SCFs, ~150 AOs).
+    """
     nao = mol.nao
     out = np.zeros((nao, nao, nao, nao))
     pairs = list(_pairs(mol))
-    # precompute hermite densities
     dens = [sp.hermite_density() for *_unused, sp in pairs]
+
+    # group ket pairs by (lc, ld); concatenate their primitive-pair data
+    groups = {}
+    for idx, (k, l, sk, sl, spcd) in enumerate(pairs):
+        g = groups.setdefault((sk.l, sl.l), {
+            "idx": [], "T": [], "q": [], "cc": [], "P": [], "meta": [],
+            "bounds": [0],
+        })
+        g["idx"].append(idx)
+        g["T"].append(dens[idx])
+        g["q"].append(spcd.p)
+        g["cc"].append(spcd.cc)
+        g["P"].append(spcd.P)
+        g["meta"].append((k, l, sk, sl))
+        g["bounds"].append(g["bounds"][-1] + spcd.p.shape[0])
+    for g in groups.values():
+        g["idx"] = np.asarray(g["idx"])
+        g["T"] = np.concatenate(g["T"], axis=-1)
+        g["q"] = np.concatenate(g["q"])
+        g["cc"] = np.concatenate(g["cc"])
+        g["P"] = np.concatenate(g["P"], axis=0)
+        g["bounds"] = np.asarray(g["bounds"])
+
     for idx_ab, (i, j, si, sj, spab) in enumerate(pairs):
         la, lb = si.l, sj.l
         ltab = la + lb
         Tab = dens[idx_ab]
-        for idx_cd, (k, l, sk, sl, spcd) in enumerate(pairs):
-            if idx_cd < idx_ab:
+        for (lc, ld), g in groups.items():
+            # triangular skip: only ket pairs with idx >= idx_ab (suffix of
+            # the concatenated arrays, since members are in index order)
+            pos = int(np.searchsorted(g["idx"], idx_ab))
+            nmem = len(g["idx"]) - pos
+            if nmem == 0:
                 continue
-            lc, ld = sk.l, sl.l
+            qs = int(g["bounds"][pos])
+            Tcd = g["T"][..., qs:]
+            qv = g["q"][qs:]
             ltcd = lc + ld
-            Tcd = dens[idx_cd]
             p = spab.p[:, None]  # (npab, 1)
-            q = spcd.p[None, :]  # (1, npcd)
+            q = qv[None, :]  # (1, Q)
             alpha = p * q / (p + q)
             pref = (
                 2.0 * np.pi**2.5
                 / (p * q * np.sqrt(p + q))
                 * spab.cc[:, None]
-                * spcd.cc[None, :]
-            )  # (npab, npcd)
-            PQ = spab.P[:, None, :] - spcd.P[None, :, :]
-            npab, npcd = pref.shape
+                * g["cc"][qs:][None, :]
+            )  # (npab, Q)
+            PQ = spab.P[:, None, :] - g["P"][qs:][None, :, :]
+            npab, Q = pref.shape
+            nt = ltab + ltcd + 1
             R = _hermite_R(
-                ltab + ltcd,
-                ltab + ltcd,
-                ltab + ltcd,
-                alpha.ravel(),
-                PQ.reshape(-1, 3),
-            ).reshape(ltab + ltcd + 1, ltab + ltcd + 1, ltab + ltcd + 1, npab, npcd)
+                nt - 1, nt - 1, nt - 1, alpha.ravel(), PQ.reshape(-1, 3)
+            ).reshape(nt, nt, nt, npab, Q)
             # signs (-1)^{tau+nu+phi} for the ket hermite indices
             sign = np.fromfunction(
                 lambda t, u, v: (-1.0) ** (t + u + v), (ltcd + 1,) * 3
             )
-            # contract: sum_{tuv,TUV,P,Q} pref Tab[..tuv,P] Tcd[..TUV,Q]
-            #           sign[TUV] R[t+T, u+U, v+V, P, Q]
-            v_cart = np.einsum(
-                "abtuvp,cdxyzq,xyz,txuyvzpq,pq->abcd",
+            # contract, keeping the ket-pair axis Q for the segment sum
+            vQ = _einsum_cached(
+                "abtuvp,cdxyzQ,xyz,txuyvzpQ,pQ->abcdQ",
                 Tab,
                 Tcd,
                 sign,
                 _shifted_R(R, ltab, ltcd),
                 pref,
-                optimize=True,
             )
-            v_sph = np.einsum(
-                "abcd,ai,bj,ck,dl->ijkl",
-                v_cart,
+            starts = (g["bounds"][pos:-1] - qs).astype(np.intp)
+            v_per = np.add.reduceat(vQ, starts, axis=-1)  # (a,b,c,d,nmem)
+            v_sph = _einsum_cached(
+                "abcdm,ai,bj,ck,dl->ijklm",
+                v_per,
                 cart2sph_matrix(la),
                 cart2sph_matrix(lb),
                 cart2sph_matrix(lc),
                 cart2sph_matrix(ld),
-                optimize=True,
             )
-            _scatter_eri(out, v_sph, si, sj, sk, sl, i, j, k, l)
+            for m in range(nmem):
+                k, l, sk, sl = g["meta"][pos + m]
+                _scatter_eri(out, v_sph[..., m], si, sj, sk, sl, i, j, k, l)
     return out
 
 
 def _shifted_R(R, ltab, ltcd):
-    """R6[t, T, u, U, v, V, p, q] = R[t+T, u+U, v+V, p, q]."""
-    shape = (ltab + 1, ltcd + 1, ltab + 1, ltcd + 1, ltab + 1, ltcd + 1) + R.shape[3:]
-    out = np.empty(shape)
-    for t in range(ltab + 1):
-        for T in range(ltcd + 1):
-            for u in range(ltab + 1):
-                for U in range(ltcd + 1):
-                    for v in range(ltab + 1):
-                        for V in range(ltcd + 1):
-                            out[t, T, u, U, v, V] = R[t + T, u + U, v + V]
-    return out
+    """R6[t, T, u, U, v, V, p, q] = R[t+T, u+U, v+V, p, q].
+
+    One advanced-indexing gather (the former 6-deep Python loop was ~20%
+    of ERI construction for large seas)."""
+    s = np.arange(ltab + 1)[:, None] + np.arange(ltcd + 1)[None, :]  # (a, c)
+    return R[
+        s[:, :, None, None, None, None],
+        s[None, None, :, :, None, None],
+        s[None, None, None, None, :, :],
+    ]
 
 
 def _scatter_eri(out, v, si, sj, sk, sl, i, j, k, l):
