@@ -51,15 +51,24 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
     axis = mesh.axis_names[0] if mesh is not None else None
     nelec = wf.nelec
     fused_sweep = None
+    fused_tmove = None
     if fused:
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
         if fused != "auto" or on_tpu:
-            from ..ops.move_pallas import build_fused_sweep
+            from ..ops.move_pallas import (
+                build_fused_sweep, build_fused_tmove_sweep,
+            )
 
             fused_sweep = build_fused_sweep(
                 wf, geometry, tstep=tstep, mode="dmc",
                 interpret=(fused == "interpret"),
             )
+            _ecp = getattr(energy_acc, "ecp_acc", None)
+            if tmoves and _ecp is not None and _ecp.active:
+                fused_tmove = build_fused_tmove_sweep(
+                    wf, geometry, _ecp, tstep,
+                    interpret=(fused == "interpret"),
+                )
     ecp_acc = getattr(energy_acc, "ecp_acc", None)
     do_tmoves = tmoves and ecp_acc is not None and ecp_acc.active
     # two-half move protocol (see method/vmc.py): begin(old) reads cached
@@ -230,6 +239,15 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
             )
             xs["u_sel"] = jax.random.uniform(kt2, (nsteps, nelec, nconf), dtype)
             xs["u_acc"] = jax.random.uniform(kt3, (nsteps, nelec, nconf), dtype)
+            if fused_tmove is not None:
+                # pre-draw the quadrature rotations the fused kernel
+                # consumes — same keys as the XLA path's in-sweep draws,
+                # so the two paths produce identical chains
+                from ..observables.ecp import random_rotations
+
+                xs["tqrot"] = jax.vmap(jax.vmap(
+                    lambda k: random_rotations(k, (nconf,)).astype(dtype)
+                ))(xs["tqkeys"])
         nacc = max(len(accumulators or {}), 1)
         xs["akeys"] = jax.random.split(ka, nsteps * nacc).reshape(
             (nsteps, nacc) + ka.shape
@@ -238,10 +256,16 @@ def _dmc_parts(wf, energy_acc, geometry, tstep, nsteps, mesh=None,
         def step_fn(carry, x):
             positions, wrap, state, weights, S_old = carry
             if do_tmoves:
-                positions, wrap, state = tmove_sweep(
-                    params, positions, wrap, state,
-                    x["tqkeys"], x["u_sel"], x["u_acc"],
-                )
+                if fused_tmove is not None:
+                    positions, wrap, state = fused_tmove(
+                        params, positions, wrap, state,
+                        x["tqrot"], x["u_sel"], x["u_acc"],
+                    )
+                else:
+                    positions, wrap, state = tmove_sweep(
+                        params, positions, wrap, state,
+                        x["tqkeys"], x["u_sel"], x["u_acc"],
+                    )
             if fused_sweep is not None:
                 positions, wrap, state, (acc, r2p, r2a) = fused_sweep(
                     params, positions, wrap, state, x["gauss"], x["unif"]

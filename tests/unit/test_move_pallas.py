@@ -177,6 +177,50 @@ def test_fused_dmc_sweep_matches_reference(rng):
         np.testing.assert_allclose(lf, lr, atol=1e-9)
 
 
+def test_fused_tmove_block_matches_xla(rng):
+    """Whole 1-step DMC block (T-move sweep + drift sweep + energy) through
+    make_dmc_block: fused Pallas path vs XLA path with the same key — the
+    fused T-move consumes pre-drawn rotations from the same tqkeys, so the
+    chains must agree to fp rounding."""
+    from pyqmc_tpu.method.dmc import make_dmc_block
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+
+    mol = Molecule("C 0 0 0", basis="ccecpccpvdz", ecp="ccecp", spin=2)
+    nup, ndn = mol.nelec
+    ca = rng.normal(size=(mol.nao, nup))
+    cb = rng.normal(size=(mol.nao, ndn))
+    slater = Slater(mol, None, DeterminantExpansion.single(nup, ndn), (ca, cb))
+    jas = JastrowSpin(mol)
+    wf = MultiplyWF(slater, jas)
+    params = wf.make_params()
+    params["wf1"]["acoeff"] = jnp.asarray(
+        rng.normal(scale=0.1, size=params["wf1"]["acoeff"].shape)
+    )
+    acc = EnergyAccumulator(mol)
+    assert acc.ecp_acc is not None and acc.ecp_acc.active
+    nconf = 6
+    positions = jnp.asarray(rng.normal(scale=1.5, size=(nconf, wf.nelec, 3)))
+    wrap = jnp.zeros((nconf, wf.nelec, 3), jnp.int32)
+    geometry = Geometry(None)
+    key = jax.random.PRNGKey(21)
+    tstep = 0.05
+    outs = {}
+    for fused in (False, "interpret"):
+        blk, _ = make_dmc_block(wf, acc, geometry, tstep, 1, fused=fused)
+        w0 = jnp.ones(nconf, positions.dtype)
+        p, w, wts, avg = blk(
+            params, jnp.array(positions), jnp.array(wrap), w0, key,
+            jnp.float64(-5.3), jnp.float64(-5.3), jnp.float64(1.0),
+        )
+        outs[bool(fused)] = (p, wts, avg)
+    np.testing.assert_allclose(outs[False][0], outs[True][0], atol=1e-9)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-9)
+    np.testing.assert_allclose(
+        float(outs[False][2]["energytotal"]),
+        float(outs[True][2]["energytotal"]), rtol=1e-9,
+    )
+
+
 def test_gating():
     """Unsupported patterns return None (caller falls back to XLA sweep)."""
     mol = Molecule("He 0 0 0", basis="sto-3g")
