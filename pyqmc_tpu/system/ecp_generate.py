@@ -77,6 +77,19 @@ def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0, init_C=None):
         f"{symbol} 0 0 0", basis={symbol: basis},
         ecp=None if ecp is None else {symbol: ecp}, spin=spin, charge=charge,
     )
+    if init_C is not None:
+        # warm start (previous fit iterate's MOs): when it converges, skip
+        # the robustness ladder entirely — the ECP generator's fit loop
+        # runs hundreds of SCFs whose solutions move by tiny parameter
+        # steps, and re-running the cold plain + level-shift attempts each
+        # time cost minutes per residual evaluation for 3d-metal seas
+        try:
+            mf = run_scf(mol, integrals_cache=cache, conv_tol=1e-9,
+                         init_C=init_C)
+            if np.isfinite(mf.e_tot) and mf.converged:
+                return mol, mf
+        except Exception:
+            pass
     attempts = [{}, {"level_shift": 0.5}]
     if init_C is not None:
         attempts.insert(0, {"init_C": init_C})
@@ -307,9 +320,14 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
             ch[l] = (float(np.exp(x[3 + 2 * i])), float(x[4 + 2 * i]))
         return a1, a3, gamma, ch
 
+    warm = {}  # (spin, charge) -> last successful MOs: warm-starts the
+    # fit loop's SCFs (tiny parameter steps between residual evaluations)
+
     def levels_for(entry, sp, charge, init_C=None):
+        ic = init_C if init_C is not None else warm.get((sp, charge))
         mol, mf = _atom_scf(symbol, sea, entry, sp, cache=cache,
-                            charge=charge, init_C=init_C)
+                            charge=charge, init_C=ic)
+        warm[(sp, charge)] = mf.mo_coeff
         out, _ = _channel_levels(mol, mf, lmax_val)
         return out, float(mf.e_tot), mf.mo_coeff
 
@@ -353,12 +371,34 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
     lo = [np.log(0.05), np.log(0.05), -60.0]
     hi = [np.log(200.0), np.log(200.0), 60.0]
     for l in cl:
-        # repulsive start only where there are core orbitals to screen
-        c0 = float(max(zeff, 2.0)) if ncore_l.get(l, 0) else 1.0
+        # repulsive start only where there are core orbitals to screen.
+        # A coreless d channel starts ATTRACTIVE: early 3d metals bind the
+        # 3d level only weakly (Ti eps_3d ~ -0.44), and a repulsive trial
+        # projector unbinds it entirely — every d residual then sits on the
+        # flat missing-level penalty and the optimizer gets no gradient
+        # toward binding it (observed: Ti stuck at resid 10.0).
+        if ncore_l.get(l, 0):
+            c0 = float(max(zeff, 2.0))
+        else:
+            c0 = -2.0 if l >= 2 else 1.0
         x0.extend([np.log(1.5 / rc**2), c0])
         lo.extend([np.log(0.05), -80.0])
         hi.extend([np.log(80.0), 200.0])
     x0 = np.asarray(x0)
+    # seed the warm-start cache from a zero-projector (local-only) atom:
+    # the bare -Zeff/r local potential binds the full valence configuration
+    # (d electrons included), and DIIS from those MOs keeps subsequent
+    # trial-ECP SCFs in the ground-configuration basin
+    try:
+        zero_ch = {l: (1.5 / rc**2, 0.0) for l in cl}
+        a1_0 = float(np.exp(x0[0]))
+        a3_0 = float(np.exp(x0[1]))
+        levels_for(_assemble_ecp(ncore, zeff, a1_0, zero_ch, a3_0, 0.0),
+                   spin, 0)
+        levels_for(_assemble_ecp(ncore, zeff, a1_0, zero_ch, a3_0, 0.0),
+                   ion_spin, 1)
+    except Exception:
+        pass
     # diff_step well above SCF convergence noise: each residual entry is
     # itself the output of an iterative solve converged to ~1e-9, so the
     # default sqrt(eps) finite-difference step yields a noise jacobian.

@@ -24,6 +24,7 @@ class MeanField:
     mo_occ: Tuple[np.ndarray, np.ndarray]
     e_tot: float
     restricted: bool
+    converged: bool = True
 
     @property
     def nelec(self):
@@ -164,8 +165,11 @@ def run_scf(
         if verbose:
             print(f"SCF iter {it}: E = {e_tot:.12f}")
         if abs(e_tot - e_old) < conv_tol and it > 1:
+            scf_converged = True
             break
         e_old = e_tot
+    else:
+        scf_converged = False
 
     return MeanField(
         mol=mol,
@@ -177,4 +181,5 @@ def run_scf(
         ),
         e_tot=float(e_tot),
         restricted=restricted,
+        converged=scf_converged,
     )
