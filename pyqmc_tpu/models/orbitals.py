@@ -227,6 +227,8 @@ class KPointOrbitals:
         centers = []
         repl = []
         phase_rows = []  # (row block -> (orig shell, image idx))
+        ao_idx_rows = []  # repl row -> original AO index
+        phase_per_row = []  # repl row -> (nk,) image phase
         nao = cell.nao
         off = 0
         for L, ph in zip(self.images, self.img_phases):
@@ -240,8 +242,41 @@ class KPointOrbitals:
                 )
                 centers.append(c)
                 phase_rows.append((sh, ph))
-                off += 2 * sh.l + 1
+                nsph = 2 * sh.l + 1
+                ao_idx_rows.extend(range(sh.ao_offset, sh.ao_offset + nsph))
+                phase_per_row.extend([np.real(ph)] * nsph)
+                off += nsph
         self._repl_spec = GTOSpec.from_shells(repl, np.asarray(centers), off)
+        # folded-coefficient path (real/TRIM mode): instead of materializing
+        # k-AOs via the sparse phase matmul P (nao_repl, nk*nao) and then
+        # applying per-k MO blocks, fold both into ONE real matrix
+        # R (nao_repl, norb_tot): R rows replicate the k-blocks' MO rows
+        # scaled by their image phase, so  mo = (AO_repl @ R) * wrapphase —
+        # the periodic evaluation becomes structurally identical to the
+        # molecular ao @ C and can ride the fused Pallas GTO+MO kernel
+        # (no (npts, nk*nao) k-AO intermediate in HBM, one MXU matmul
+        # instead of nk small ones). pgradient keeps the k-AO path
+        # (_kaos_replicated) — it needs per-k AOs for d(det)/d(mo_coeff).
+        self._repl_ao_idx = np.asarray(ao_idx_rows, dtype=np.int32)
+        self._repl_phase = np.asarray(phase_per_row)  # (nao_repl, nk)
+        self._korb = np.concatenate([
+            np.concatenate([
+                np.full(b.shape[1], k, dtype=np.int32)
+                for k, b in enumerate(self._mo[s])
+            ]) for s in range(2)
+        ])  # orbital column -> k index, both spins concatenated
+        self._repl_fused0 = None
+        self._repl_fused0_t = None
+        if jax.devices()[0].platform not in ("cpu", "gpu"):
+            from ..ops.gto_pallas import fused_value_mo, fused_value_mo_t
+
+            ntot = self.norb[0] + self.norb[1]
+            self._repl_fused0 = fused_value_mo(self._repl_spec, ntot)
+            self._repl_fused0_t = fused_value_mo_t(self._repl_spec, ntot)
+            self._repl_concat_rows = np.argsort(self._repl_spec.perm)
+        # single-det ECP fast path discovers the transposed evaluator by
+        # hasattr, so only real-mode instances expose it
+        self.eval_mo_t = self._eval_mo_t_folded
         # replicated-shell tables are large (every kept (shell, image) pair
         # is its own shell), which is where the fused Pallas kernel wins
         # (tools/pallas_gto_bench.py: 1.8x at 552 AOs); auto-enable for
@@ -363,6 +398,62 @@ class KPointOrbitals:
         ]
         return jnp.concatenate(outs, axis=-1)
 
+    def _folded_coeff(self, params, dtype):
+        """R (nao_repl, norb_up + norb_dn): per replicated row r (original
+        AO a, image L), R[r, (s,k,j)] = Re(e^{ikL}) C^s_k[a, j] — cheap
+        gathers, rebuilt per call so optimized mo_coeff flow through."""
+        idx = jnp.asarray(self._repl_ao_idx)
+        ph = jnp.asarray(self._repl_phase, dtype)
+        cols = []
+        for tag in ("alpha", "beta"):
+            for k, b in enumerate(params[f"mo_coeff_{tag}"]):
+                cols.append(b.astype(dtype)[idx] * ph[:, k][:, None])
+        return jnp.concatenate(cols, axis=1)
+
+    def _eval_folded(self, params, X, mode: int):
+        """Real-mode evaluation via the folded coefficient matrix: one
+        replicated-shell GTO pass + one (nao_repl, norb_tot) contraction
+        (+- the wrap phase per orbital column). Numerically identical to
+        the k-AO route: mo_k = (AO@P)_k w_k C_k = w_k (AO @ (P_k C_k))."""
+        Xf, wphase = self._fold(X)  # wphase (..., nk) of +-1
+        R = self._folded_coeff(params, X.dtype)
+        wcol = wphase[..., jnp.asarray(self._korb)]  # (..., norb_tot)
+        nu = self.norb[0]
+
+        def split(m):
+            return m[..., :nu], m[..., nu:]
+
+        if mode == 0:
+            if self._repl_fused0 is not None and X.dtype == jnp.float32:
+                mo = self._repl_fused0(Xf, R[self._repl_concat_rows])
+            else:
+                mo = eval_gto(self._repl_spec, Xf, 0) @ R
+            return split(mo * wcol)
+        if mode == 1:
+            ao, aog = eval_gto(self._repl_spec, Xf, 1)
+            mo = (ao @ R) * wcol
+            gmo = (aog @ R) * wcol[..., None, :]
+            return split(mo) + split(gmo)
+        if self._repl_fused2 is not None and X.dtype == jnp.float32:
+            ao, aog, aol = self._repl_fused2(Xf)
+        else:
+            ao, aog, aol = eval_gto(self._repl_spec, Xf, 2)
+        mo = (ao @ R) * wcol
+        gmo = (aog @ R) * wcol[..., None, :]
+        lmo = (aol @ R) * wcol
+        return split(mo) + split(gmo) + split(lmo)
+
+    def _eval_mo_t_folded(self, params, X):
+        """Transposed value-only MOs (norb_tot, M) in the fused kernel's
+        native points-minor layout (MolecularOrbitals.eval_mo_t contract);
+        bound as `eval_mo_t` only on real-mode instances."""
+        Xf, wphase = self._fold(X)  # X (M, 3), wphase (M, nk)
+        R = self._folded_coeff(params, X.dtype)
+        wcol_t = wphase[:, jnp.asarray(self._korb)].T  # (norb_tot, M)
+        if self._repl_fused0_t is not None and X.dtype == jnp.float32:
+            return self._repl_fused0_t(Xf, R[self._repl_concat_rows]) * wcol_t
+        return (eval_gto(self._repl_spec, Xf, 0) @ R).T * wcol_t
+
     # --- real-pair path (for TPU backends without complex support) -------
     def make_pair_params(self):
         """Parameters with complex mo_coeff split into re/im real arrays."""
@@ -430,6 +521,8 @@ class KPointOrbitals:
         return tuple(out)
 
     def eval(self, params, X, mode: int):
+        if self._repl is not None:
+            return self._eval_folded(params, X, mode)
         kaos = self._kaos(X, mode)
         if mode == 0:
             (a,) = kaos

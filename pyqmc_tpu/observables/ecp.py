@@ -292,6 +292,47 @@ class ECPAccumulator:
             nselect = None if self.nq_total <= cap else cap
         self.nselect = nselect
         self.echunk = echunk
+        self._build_quadrature_groups()
+
+    def _build_quadrature_groups(self):
+        """Static per-naip atom groups with dense padded radial-term tables,
+        so _quadrature_geometry runs a handful of batched ops per group
+        instead of an unrolled per-atom Python loop (measured on the
+        16-atom diamond supercell: the unrolled geometry+downselect was
+        ~35% of the whole ECP pass)."""
+        groups = []
+        for n in sorted(set(self.atom_naip)):
+            idx = [i for i, m in enumerate(self.atom_naip) if m == n]
+            atoms = [self.nl_atoms[i] for i in idx]
+            coords = np.asarray(
+                [self.atom_coords[a.atom] for a in atoms]
+            )  # (A, 3)
+            ls = sorted({ch.l for a in atoms for ch in a.nonlocal_channels})
+            ntm = max(
+                (len(ch.coeffs) for a in atoms for ch in a.nonlocal_channels),
+                default=1,
+            )
+            A = len(atoms)
+            tables = {}
+            for l in ls:
+                c_t = np.zeros((A, ntm))
+                e_t = np.ones((A, ntm))
+                n_t = np.full((A, ntm), 2)
+                for ai, a in enumerate(atoms):
+                    for ch in a.nonlocal_channels:
+                        if ch.l != l:
+                            continue
+                        m = len(ch.coeffs)
+                        c_t[ai, :m] = ch.coeffs
+                        e_t[ai, :m] = ch.exps
+                        n_t[ai, :m] = ch.powers
+                tables[l] = (c_t, e_t, n_t)
+            pts, w = ecp_quadrature_grid(n)
+            groups.append(
+                {"coords": coords, "pts": np.asarray(pts),
+                 "w": np.asarray(w), "tables": tables}
+            )
+        self._qgroups = groups
 
     @property
     def active(self):
@@ -331,24 +372,42 @@ class ECPAccumulator:
         # single rotation across ALL walkers, eval_ecp.py:263-272; this is
         # strictly lower-variance and 1/natoms the RNG work)
         rot = random_rotations(key, (nconf,))  # (c, 3, 3)
-        for aecp, (pts_a, w_a) in zip(self.nl_atoms, self.atom_quad):
-            w = jnp.asarray(w_a, dtype)  # (naip_a,)
-            pts = jnp.asarray(pts_a, dtype)  # (naip_a, 3)
-            dirs = jnp.einsum("cxy,qy->cqx", rot, pts)  # (c, naip_a, 3)
-            R = jnp.asarray(self.atom_coords[aecp.atom], dtype)
-            d = self._mic(epos - R)  # atom(-image) -> electron (nconf, 3)
-            r = jnp.linalg.norm(d, axis=-1)
-            # sphere centred on the nearest image of the atom: epos - d
-            aux = (epos - d)[:, None, :] + r[:, None, None] * dirs  # (c, naip_a, 3)
-            costh = jnp.einsum("cqx,cx->cq", dirs, d / jnp.maximum(r, 1e-12)[:, None])
-            inside = (r < self.rmax).astype(dtype)
-            T = jnp.zeros((nconf, pts.shape[0]), dtype)
-            for ch in aecp.nonlocal_channels:
-                T = T + (
-                    (2 * ch.l + 1) * ch.evaluate(r) * inside
-                )[:, None] * legendre(ch.l, costh) * w[None, :]
-            auxs.append(aux)
-            Ts.append(T)
+        # atoms batched per naip group (dense padded radial tables built in
+        # _build_quadrature_groups): a handful of (c, A[, q]) ops per group
+        # instead of ~8 small kernels per atom
+        for grp in self._qgroups:
+            w = jnp.asarray(grp["w"], dtype)  # (q,)
+            pts = jnp.asarray(grp["pts"], dtype)  # (q, 3)
+            dirs = jnp.einsum("cxy,qy->cqx", rot, pts)  # (c, q, 3)
+            Rg = jnp.asarray(grp["coords"], dtype)  # (A, 3)
+            # atom(-image) -> electron displacement, all atoms at once
+            d = self._mic(epos[:, None, :] - Rg[None, :, :])  # (c, A, 3)
+            r = jnp.linalg.norm(d, axis=-1)  # (c, A)
+            # sphere centred on the nearest image of each atom: epos - d
+            aux = (epos[:, None, :] - d)[:, :, None, :] + (
+                r[:, :, None, None] * dirs[:, None, :, :]
+            )  # (c, A, q, 3)
+            costh = jnp.einsum(
+                "cqx,cax->caq", dirs, d / jnp.maximum(r, 1e-12)[..., None]
+            )
+            inside = (r < self.rmax).astype(dtype)  # (c, A)
+            T = jnp.zeros(costh.shape, dtype)
+            for l, (c_t, e_t, n_t) in grp["tables"].items():
+                ct = jnp.asarray(c_t, dtype)  # (A, ntm), 0-padded
+                et = jnp.asarray(e_t, dtype)
+                nt = jnp.asarray(n_t, dtype)
+                # clamp: the float-exponent pow lowers to exp(p*log r),
+                # which NaNs at r == 0 for p == 0 (the int-exponent path
+                # this replaces returned 1 there)
+                rr = jnp.maximum(r, 1e-12)[..., None]  # (c, A, 1)
+                v = jnp.sum(
+                    ct * rr ** (nt - 2.0) * jnp.exp(-et * rr * rr), axis=-1
+                )  # (c, A)
+                T = T + ((2 * l + 1) * v * inside)[..., None] * legendre(
+                    l, costh
+                )
+            auxs.append(aux.reshape(nconf, -1, 3))
+            Ts.append((T * w[None, None, :]).reshape(nconf, -1))
         aux_all = jnp.concatenate(auxs, axis=1)  # (c, sum naip_a, 3)
         T_all = jnp.concatenate(Ts, axis=1)
         return aux_all, T_all, None

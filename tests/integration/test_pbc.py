@@ -47,8 +47,13 @@ def test_gamma_point_contract(h2_pbc):
 
 
 def periodic_kinetic(cell, images):
-    """T^gamma[mu,nu] = sum_L T(chi_mu, chi_nu(.-L)) via a replicated
-    molecule (self-contained counterpart of pyscf int1e_kin for k=0)."""
+    """(S, T)^gamma[mu,nu] = sum_L M(chi_mu, chi_nu(.-L)) via a replicated
+    molecule (self-contained counterpart of pyscf int1e_kin for k=0).
+
+    The bra block must be the HOME cell's AOs: select_pbc_images returns
+    meshgrid order, so images[0] is a far corner, not L=0 — anchoring the
+    lattice sum there silently skews the truncated sum (a ~4% kinetic
+    error that once hid in this test's tolerance)."""
     base_atoms = list(zip(cell.atom_symbols, cell.atom_coords))
     atoms = []
     for L in images:
@@ -59,24 +64,29 @@ def periodic_kinetic(cell, images):
         spin=None if (len(images) * sum(cell.nelec)) % 2 == 0 else 1,
     )
     # force electron bookkeeping irrelevant; we only need integrals
-    _, T = integrals.overlap_kinetic(big)
+    S, T = integrals.overlap_kinetic(big)
     nao = cell.nao
-    Tper = np.zeros((nao, nao))
-    for i in range(len(images)):
-        Tper += T[:nao, i * nao : (i + 1) * nao]
-    return Tper
+    i0 = int(np.argmin(np.linalg.norm(np.asarray(images), axis=1)))
+    rows = slice(i0 * nao, (i0 + 1) * nao)
+    Tper = sum(T[rows, i * nao : (i + 1) * nao] for i in range(len(images)))
+    Sper = sum(S[rows, i * nao : (i + 1) * nao] for i in range(len(images)))
+    return Sper, Tper
 
 
 def test_pbc_kinetic_vs_integrals(h2_pbc):
     """VMC kinetic energy of the gamma Slater must match the deterministic
     determinant expectation sum_occ <psi|T|psi> (test_periodic.py:31-70)."""
     cell, wf, d = h2_pbc
-    # deterministic value from lattice-summed kinetic integrals
+    # deterministic value from lattice-summed kinetic integrals, with the
+    # S-normalization of the truncated Bloch AOs made explicit (the fixture
+    # MO is pyscf-normalized; under OUR image sum C^T S C = 1 - 2e-6)
     imgs = wf.orbitals.images
-    Tper = periodic_kinetic(cell, imgs)
+    Sper, Tper = periodic_kinetic(cell, imgs)
     nocc = int(np.sum(np.asarray(d["mo_occ"]) > 0.5))
     C = np.real(np.asarray(d["mo_coeff"])[:, :nocc])
-    ke_det = 2.0 * np.trace(C.T @ Tper @ C)  # both spins
+    ke_det = 2.0 * np.trace(
+        np.linalg.solve(C.T @ Sper @ C, C.T @ Tper @ C)
+    )  # both spins
     configs = initial_guess(cell, 400, key=jax.random.PRNGKey(2))
     data, _ = vmc(
         wf, wf.make_params(), configs, nblocks=25, nsteps_per_block=10,

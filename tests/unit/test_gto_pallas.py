@@ -96,3 +96,50 @@ def test_fused_value_mo_matches_xla():
     ref = eval_gto(spec, X, mode=0) @ C
     assert mo.shape == (5, 23, 9)
     np.testing.assert_allclose(mo, ref, atol=1e-12)
+
+
+def test_folded_coeff_eval_matches_kao_route():
+    """The folded-coefficient real-mode evaluation (one AO_repl @ R
+    contraction + wrap-phase column fixup) is numerically identical to the
+    k-AO route (phase matmul + per-k MO blocks) on every derivative slot,
+    and eval_mo_t returns its transpose."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from fixtures_pbc import load_cell
+    from pyqmc_tpu.models.orbitals import KPointOrbitals
+
+    cell, d = load_cell("diamond_primitive")
+    kpts = np.asarray(d["kpts"])
+    blocks = [np.asarray(d["mo_coeff"][k])[:, :4] for k in range(len(kpts))]
+    orb = KPointOrbitals(cell, kpts, (blocks, blocks), img_tol=1e-4)
+    assert orb.real_mode and orb._repl is not None
+    params = orb.make_params()
+    # points spread over several cells so wrap phases exercise both signs
+    X = jnp.asarray(np.random.default_rng(11).normal(scale=4.0, size=(37, 3)))
+
+    def kao_route(mode):
+        kaos = orb._kaos(X, mode)
+        out = []
+        for arr in kaos:
+            out.append(orb._mos_from_kaos(params, arr, 0))
+            out.append(orb._mos_from_kaos(params, arr, 1))
+        return tuple(out)
+
+    for mode in (0, 1, 2):
+        got = orb._eval_folded(params, X, mode)
+        ref = kao_route(mode)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-10
+            )
+    # eval dispatches to the folded path in real mode
+    for a, b in zip(orb.eval(params, X, 2), kao_route(2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+    # transposed single-det ECP layout
+    mo_t = orb.eval_mo_t(params, X)
+    mu, md = orb.eval(params, X, 0)
+    np.testing.assert_allclose(
+        np.asarray(mo_t), np.asarray(jnp.concatenate([mu, md], axis=-1).T),
+        atol=1e-10,
+    )
