@@ -98,6 +98,14 @@ class Slater:
         build MolecularOrbitals from mo_coeff (back-compat)."""
         self.nup, self.ndn = mol.nelec
         self.nelec = self.nup + self.ndn
+        if (expansion.occ_up.shape[1] != self.nup
+                or expansion.occ_dn.shape[1] != self.ndn):
+            raise ValueError(
+                "DeterminantExpansion electron counts "
+                f"({expansion.occ_up.shape[1]} up, "
+                f"{expansion.occ_dn.shape[1]} dn) do not match mol.nelec "
+                f"{mol.nelec}"
+            )
         if orbitals is None:
             orbitals = MolecularOrbitals(mol, mo_coeff)
         self.orbitals = orbitals

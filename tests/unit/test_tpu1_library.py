@@ -107,8 +107,10 @@ def test_d_channel_rotation_invariance():
     (exact through l=5) must integrate the P_2 * d product exactly, so two
     independent random quadrature rotations agree to round-off
     (reference criterion tests/unit/test_ecp_rotation.py:22)."""
+    # one-electron Ti^11+ ion: a pure d-orbital state over the Ti ECP
     mol = Molecule([("Ti", (0.0, 0.0, 0.0))], basis="tpu1dz", ecp="tpu1",
-                   spin=tpu1.TPU1_META["Ti"]["spin"])
+                   charge=11, spin=1)
+    assert mol.nelec == (1, 0)
     d_shells = [sh for sh in mol.shells if sh.l == 2]
     assert d_shells, "Ti tpu1dz basis must include a d shell"
     col = d_shells[0].ao_offset + 2  # m=0 component
