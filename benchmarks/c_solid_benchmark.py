@@ -219,4 +219,4 @@ if __name__ == "__main__":
     main(nconfig)
     if "--kernels-only" not in sys.argv:
         e2e_vmc(nconfig, general_twist=False, profile="--profile" in sys.argv)
-        e2e_vmc(nconfig, general_twist=True)
+        e2e_vmc(nconfig, general_twist=True, profile="--profile" in sys.argv)

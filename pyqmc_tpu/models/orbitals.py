@@ -210,9 +210,12 @@ class KPointOrbitals:
         # per-(shell, image) culling + a single phase matmul, instead of a
         # loop of full-basis evaluations per image (the per-shell cutoff the
         # reference implements inside its numba kernels, pbcgto.py:524-592)
+        # the replicated-shell spec + folded coefficients also serve the
+        # general-twist real-pair path (_eval_pair_folded): the 47-image
+        # GTO loop in _kaos_pair was ~3x the TRIM cost on diamond-C
         self._repl = None
-        if self.real_mode:
-            self._build_replicated(cell, img_tol)
+        self._repl_spec = None
+        self._build_replicated(cell, img_tol)
 
     def _build_replicated(self, cell, tol):
         import dataclasses as _dc
@@ -244,7 +247,7 @@ class KPointOrbitals:
                 phase_rows.append((sh, ph))
                 nsph = 2 * sh.l + 1
                 ao_idx_rows.extend(range(sh.ao_offset, sh.ao_offset + nsph))
-                phase_per_row.extend([np.real(ph)] * nsph)
+                phase_per_row.extend([ph] * nsph)
                 off += nsph
         self._repl_spec = GTOSpec.from_shells(repl, np.asarray(centers), off)
         # folded-coefficient path (real/TRIM mode): instead of materializing
@@ -258,7 +261,8 @@ class KPointOrbitals:
         # instead of nk small ones). pgradient keeps the k-AO path
         # (_kaos_replicated) — it needs per-k AOs for d(det)/d(mo_coeff).
         self._repl_ao_idx = np.asarray(ao_idx_rows, dtype=np.int32)
-        self._repl_phase = np.asarray(phase_per_row)  # (nao_repl, nk)
+        self._repl_phase_c = np.asarray(phase_per_row)  # (nao_repl, nk) cplx
+        self._repl_phase = np.real(self._repl_phase_c)
         self._korb = np.concatenate([
             np.concatenate([
                 np.full(b.shape[1], k, dtype=np.int32)
@@ -267,16 +271,24 @@ class KPointOrbitals:
         ])  # orbital column -> k index, both spins concatenated
         self._repl_fused0 = None
         self._repl_fused0_t = None
+        self._repl_fused0_pair = None
         if jax.devices()[0].platform not in ("cpu", "gpu"):
             from ..ops.gto_pallas import fused_value_mo, fused_value_mo_t
 
             ntot = self.norb[0] + self.norb[1]
-            self._repl_fused0 = fused_value_mo(self._repl_spec, ntot)
-            self._repl_fused0_t = fused_value_mo_t(self._repl_spec, ntot)
             self._repl_concat_rows = np.argsort(self._repl_spec.perm)
-        # single-det ECP fast path discovers the transposed evaluator by
-        # hasattr, so only real-mode instances expose it
-        self.eval_mo_t = self._eval_mo_t_folded
+            if self.real_mode:
+                self._repl_fused0 = fused_value_mo(self._repl_spec, ntot)
+                self._repl_fused0_t = fused_value_mo_t(self._repl_spec, ntot)
+            else:
+                # pair path: one fused pass over [R_re | R_im] columns
+                self._repl_fused0_pair = fused_value_mo(
+                    self._repl_spec, 2 * ntot
+                )
+        if self.real_mode:
+            # single-det ECP fast path discovers the transposed evaluator
+            # by hasattr, so only real-mode instances expose it
+            self.eval_mo_t = self._eval_mo_t_folded
         # replicated-shell tables are large (every kept (shell, image) pair
         # is its own shell), which is where the fused Pallas kernel wins
         # (tools/pallas_gto_bench.py: 1.8x at 552 AOs); auto-enable for
@@ -287,19 +299,23 @@ class KPointOrbitals:
             from ..ops.gto_pallas import fused_eval_gto2
 
             self._repl_fused2 = fused_eval_gto2(self._repl_spec)
-        # P: (nao_repl, nk * nao) real
-        P = np.zeros((off, self.nk * nao))
+        self._repl_nao = nao
+        # P: (nao_repl, nk * nao); real (+-1 phases) in real mode, complex
+        # otherwise — the complex _kaos route uses the same culled row set
+        # as the folded pair path, so the two stay bit-comparable
+        P = np.zeros((off, self.nk * nao),
+                     dtype=np.float64 if self.real_mode else np.complex128)
         row = 0
         for sh, ph in phase_rows:
             nsph = 2 * sh.l + 1
             for k in range(self.nk):
+                pk = np.real(ph[k]) if self.real_mode else ph[k]
                 P[row : row + nsph,
                   k * nao + sh.ao_offset : k * nao + sh.ao_offset + nsph] = (
-                    np.real(ph[k]) * np.eye(nsph)
+                    pk * np.eye(nsph)
                 )
             row += nsph
         self._repl = P
-        self._repl_nao = nao
 
     def _try_realify(self, tol=1e-6):
         out = []
@@ -369,9 +385,16 @@ class KPointOrbitals:
         return ao_k, g_k, l_k
 
     def _kaos_replicated(self, X, mode: int):
-        """Real-mode fast path: culled replicated-shell eval + phase matmul."""
-        Xf, wphase = self._fold(X)  # wphase real (+-1) in real mode
-        P = jnp.asarray(self._repl, X.dtype)  # (nao_repl, nk*nao)
+        """Culled replicated-shell eval + phase matmul (both modes; the
+        phase matrix P is +-1 real in real mode, complex otherwise)."""
+        Xf, wphase = self._fold(X)  # real (+-1) or complex e^{ik.wA}
+        if self.real_mode:
+            P = jnp.asarray(self._repl, X.dtype)  # (nao_repl, nk*nao)
+        else:
+            P = jnp.asarray(
+                self._repl,
+                jnp.complex64 if X.dtype == jnp.float32 else jnp.complex128,
+            )
         nao = self._repl_nao
         if (mode == 2 and self._repl_fused2 is not None
                 and X.dtype == jnp.float32):
@@ -469,6 +492,8 @@ class KPointOrbitals:
 
         Returns a list over derivative slots of ((..., nk, nao) re, im).
         """
+        if self._repl is not None:
+            return self._kaos_pair_replicated(X, mode)
         Xf, _ = self._fold(X)
         frac = X @ jnp.asarray(self.lattice_inv, X.dtype)
         wrapcart = jnp.floor(frac) @ jnp.asarray(self.lattice, X.dtype)
@@ -497,6 +522,112 @@ class KPointOrbitals:
             outs.append((re * wre - im * wim, re * wim + im * wre))
         return outs
 
+    def _kaos_pair_replicated(self, X, mode: int):
+        """Replicated-shell k-AO pairs: one culled GTO pass + two real
+        phase matmuls (same culled row set as the folded pair path)."""
+        Xf, cw, sw = self._fold_pair(X)
+        Pre = jnp.asarray(np.real(self._repl), X.dtype)
+        Pim = jnp.asarray(np.imag(self._repl), X.dtype)
+        nao = self._repl_nao
+        if (mode == 2 and self._repl_fused2 is not None
+                and X.dtype == jnp.float32):
+            out = self._repl_fused2(Xf)
+        else:
+            out = eval_gto(self._repl_spec, Xf, mode)
+        if mode == 0:
+            out = (out,)
+        outs = []
+        for slot, arr in enumerate(out):
+            shp = arr.shape[:-1]
+            kre = (arr @ Pre).reshape(shp + (self.nk, nao))
+            kim = (arr @ Pim).reshape(shp + (self.nk, nao))
+            if slot == 1 and mode >= 1:
+                wre = cw[..., None, :, None]
+                wim = sw[..., None, :, None]
+            else:
+                wre = cw[..., :, None]
+                wim = sw[..., :, None]
+            outs.append((kre * wre - kim * wim, kre * wim + kim * wre))
+        return outs
+
+    def _fold_pair(self, X):
+        """Fold positions; wrap phase e^{i k.(wA)} as (cos, sin) (..., nk)."""
+        frac = X @ jnp.asarray(self.lattice_inv, X.dtype)
+        wrap = jnp.floor(frac)
+        Xf = (frac - wrap) @ jnp.asarray(self.lattice, X.dtype)
+        karg = (wrap @ jnp.asarray(self.lattice, X.dtype)) @ jnp.asarray(
+            self.kpts.T, X.dtype
+        )
+        return Xf, jnp.cos(karg), jnp.sin(karg)
+
+    def _folded_coeff_pair(self, params, dtype):
+        """(R_re, R_im) (nao_repl, norb_tot): complex folded coefficients
+        R[r, (s,k,j)] = e^{ikL_r} C^s_k[a_r, j] as real pairs — the
+        general-twist counterpart of _folded_coeff, so the periodic pair
+        evaluation is ONE replicated-shell GTO pass + two real matmuls
+        instead of a GTO evaluation per lattice image (_kaos_pair)."""
+        idx = jnp.asarray(self._repl_ao_idx)
+        pr = jnp.asarray(np.real(self._repl_phase_c), dtype)
+        pi = jnp.asarray(np.imag(self._repl_phase_c), dtype)
+        cols_r, cols_i = [], []
+        for tag in ("alpha", "beta"):
+            cre = params[f"mo_coeff_{tag}_re"]
+            cim = params[f"mo_coeff_{tag}_im"]
+            for k in range(self.nk):
+                br = cre[k].astype(dtype)[idx]
+                bi = cim[k].astype(dtype)[idx]
+                wr = pr[:, k][:, None]
+                wi = pi[:, k][:, None]
+                cols_r.append(br * wr - bi * wi)
+                cols_i.append(br * wi + bi * wr)
+        return (jnp.concatenate(cols_r, axis=1),
+                jnp.concatenate(cols_i, axis=1))
+
+    def _eval_pair_folded(self, params, X, mode: int):
+        """Folded-coefficient general-twist evaluation (real pairs).
+
+        mo_k = AO_repl @ (ph C_k) * e^{i k.(wA)} — numerically identical to
+        the per-image route (same algebra as _eval_folded, complex split
+        into (re, im)); per-(shell, image) culling comes with the
+        replicated spec."""
+        Xf, cw, sw = self._fold_pair(X)
+        Rr, Ri = self._folded_coeff_pair(params, X.dtype)
+        korb = jnp.asarray(self._korb)
+        wre = cw[..., korb]  # (..., norb_tot)
+        wim = sw[..., korb]
+        nu = self.norb[0]
+        ntot = self.norb[0] + self.norb[1]
+
+        def combine(mr, mi, wr, wi):
+            re = mr * wr - mi * wi
+            im = mr * wi + mi * wr
+            return (re[..., :nu], im[..., :nu], re[..., nu:], im[..., nu:])
+
+        if mode == 0:
+            if (self._repl_fused0_pair is not None
+                    and X.dtype == jnp.float32):
+                cat = jnp.concatenate([Rr, Ri], axis=1)
+                mo = self._repl_fused0_pair(Xf, cat[self._repl_concat_rows])
+                mr, mi = mo[..., :ntot], mo[..., ntot:]
+            else:
+                ao = eval_gto(self._repl_spec, Xf, 0)
+                mr, mi = ao @ Rr, ao @ Ri
+            return combine(mr, mi, wre, wim)
+        if (mode == 2 and self._repl_fused2 is not None
+                and X.dtype == jnp.float32):
+            aos = self._repl_fused2(Xf)
+        else:
+            aos = eval_gto(self._repl_spec, Xf, mode)
+        out = []
+        for slot, arr in enumerate(aos):
+            mr, mi = arr @ Rr, arr @ Ri
+            if slot == 1:
+                out.extend(combine(mr, mi, wre[..., None, :],
+                                   wim[..., None, :]))
+            else:
+                out.extend(combine(mr, mi, wre, wim))
+        return tuple(out)
+
     def eval_pair(self, params, X, mode: int):
         """Per-spin MO (re, im) pairs via real arithmetic only.
 
@@ -504,6 +635,8 @@ class KPointOrbitals:
           mode 0: (mo_up_re, mo_up_im, mo_dn_re, mo_dn_im)
           mode>=1 appends the same 4-tuples for grad (and laplacian).
         """
+        if self._repl_spec is not None:
+            return self._eval_pair_folded(params, X, mode)
         kaos = self._kaos_pair(X, mode)
         out = []
         for (are, aim) in kaos:
@@ -521,7 +654,7 @@ class KPointOrbitals:
         return tuple(out)
 
     def eval(self, params, X, mode: int):
-        if self._repl is not None:
+        if self.real_mode and self._repl is not None:
             return self._eval_folded(params, X, mode)
         kaos = self._kaos(X, mode)
         if mode == 0:
