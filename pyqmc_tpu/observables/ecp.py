@@ -214,6 +214,67 @@ def _parse_ecp(mol) -> List[_AtomECP]:
     return out
 
 
+def systematic_downselect(T, nselect, key, u=None):
+    """Pick nselect of the nq quadrature points per walker: |T|-top-k
+    deterministic + systematic (stratified) sampling of the remainder with
+    importance reweighting. Unbiased: E[sum_sel w T r] = sum_all T r
+    (test_downselection_unbiased), static shapes, ONE uniform per walker
+    instead of nstoch gumbel fields over (c, nq) — E[#draws of q] =
+    nstoch * p_q exactly, strictly lower variance than independent
+    categorical draws; the threefry bit-gen for (nstoch, c, nq) gumbels
+    was ~30% of the diamond ECP sweep.
+
+    Returns (idx (c, nselect) int, wts (c, nselect)): selected point
+    indices and importance weights (1 for deterministic picks,
+    1/(nstoch p_q) for stochastic ones). `u` overrides the per-walker
+    uniform (tests only).
+
+    Reference semantics: the fixed-size downselection of
+    jax_ecp.py:217-272 with the categorical draws replaced by a
+    systematic CDF scan.
+    """
+    nconf, nq = T.shape
+    dtype = T.dtype
+    ndet = nselect // 2
+    nstoch = nselect - ndet
+    absT = jnp.abs(T)
+    topv, topi = jax.lax.top_k(absT, ndet)  # (c, ndet)
+    # stochastic remainder: zero out the deterministic picks
+    rest = absT.at[jnp.arange(nconf)[:, None], topi].set(0.0)
+    norm = jnp.sum(rest, axis=1, keepdims=True)
+    safe = jnp.where(norm == 0, 1.0, norm)
+    p = rest / safe  # (c, nq)
+    if u is None:
+        u = jax.random.uniform(
+            jax.random.fold_in(key, 777), (nconf, 1), dtype
+        )
+    cum = jnp.cumsum(p, axis=1)  # (c, nq)
+    # normalize the CDF by its own final value: an f32 cumsum can
+    # undershoot 1 by ~1e-6, in which case the last stratum target would
+    # land past the CDF, clip to nq-1, and (if that index was zeroed by
+    # the top-k pass) pick a p=0 point whose importance weight below
+    # would blow up to ~1e29 and corrupt the energy
+    cum = cum / jnp.maximum(cum[:, -1:], 1e-30)
+    targets = (u + jnp.arange(nstoch, dtype=dtype)[None, :]) / nstoch
+    sidx = jnp.sum(
+        cum[:, None, :] <= targets[:, :, None], axis=2
+    )  # searchsorted per stratum
+    sidx = jnp.clip(sidx, 0, nq - 1)  # (c, nstoch)
+    # reweighting: deterministic weight 1; stochastic 1 / (nstoch p_q)
+    pw = jnp.take_along_axis(p, sidx, axis=1)
+    any_rest = (norm[:, 0] > 0).astype(dtype)
+    # belt-and-braces: a selected index with p=0 (only reachable via
+    # rounding pathologies) contributes 0, never an astronomic weight
+    wstoch = jnp.where(
+        pw > 0,
+        any_rest[:, None] / (nstoch * jnp.maximum(pw, 1e-30)),
+        0.0,
+    )
+    idx = jnp.concatenate([topi, sidx], axis=1)  # (c, nselect)
+    wts = jnp.concatenate([jnp.ones_like(topv), wstoch], axis=1)
+    return idx, wts
+
+
 class ECPAccumulator:
     """ecp(wf, params, state, positions, key) -> per-walker ECP energy."""
 
@@ -347,6 +408,11 @@ class ECPAccumulator:
             if self._mic_mode == _dist.MODE_GENERAL:
                 heights = 1.0 / np.linalg.norm(self._lattice_inv, axis=0)
                 r_in = 0.5 * float(np.min(heights))
+                # gate on max |v| over a radial GRID spanning [r_in, rmax],
+                # not the single point r_in: a non-monotone channel
+                # (c r^(n-2) e^{-e r^2} peaking beyond r_in, or terms
+                # cancelling exactly at r_in) must not slip through
+                rs = np.linspace(r_in, max(rmax, r_in + 1e-9), 256)
                 vmax = 0.0
                 for a in self.atoms:
                     chans = list(a.nonlocal_channels)
@@ -354,10 +420,10 @@ class ECPAccumulator:
                         chans.append(a.local)
                     for ch in chans:
                         v = sum(
-                            c * r_in ** (n - 2) * np.exp(-e * r_in * r_in)
+                            c * rs ** (n - 2) * np.exp(-e * rs * rs)
                             for c, e, n in zip(ch.coeffs, ch.exps, ch.powers)
                         )
-                        vmax = max(vmax, abs(float(v)))
+                        vmax = max(vmax, float(np.max(np.abs(v))))
                 self._mic_fast = vmax < 1e-8
 
     @property
@@ -491,42 +557,8 @@ class ECPAccumulator:
         """Evaluate only nselect points: |T|-top-k deterministic + stochastic
         remainder with importance reweighting (unbiased; static shapes).
         Returns (weighted T, ratios) at the selected points."""
-        nconf = positions.shape[0]
-        dtype = positions.dtype
         aux, T, _ = self._quadrature_geometry(positions, e, key)
-        nq = T.shape[1]
-        ndet = self.nselect // 2
-        nstoch = self.nselect - ndet
-        absT = jnp.abs(T)
-        # deterministic top-k
-        topv, topi = jax.lax.top_k(absT, ndet)  # (c, ndet)
-        # stochastic remainder: zero out the deterministic picks
-        rest = absT.at[jnp.arange(nconf)[:, None], topi].set(0.0)
-        norm = jnp.sum(rest, axis=1, keepdims=True)
-        safe = jnp.where(norm == 0, 1.0, norm)
-        p = rest / safe  # (c, nq)
-        # systematic (stratified) sampling on the CDF: ONE uniform per
-        # walker instead of nstoch gumbel fields over (c, nq) —
-        # E[#draws of q] = nstoch * p_q exactly, so the importance
-        # reweighting below is unchanged and the estimator stays unbiased
-        # (test_downselection_unbiased) with strictly lower variance than
-        # independent categorical draws; the threefry bit-gen for
-        # (nstoch, c, nq) gumbels was ~30% of the diamond ECP sweep
-        u = jax.random.uniform(
-            jax.random.fold_in(key, 777), (nconf, 1), dtype
-        )
-        cum = jnp.cumsum(p, axis=1)  # (c, nq)
-        targets = (u + jnp.arange(nstoch, dtype=dtype)[None, :]) / nstoch
-        sidx = jnp.sum(
-            cum[:, None, :] <= targets[:, :, None], axis=2
-        )  # searchsorted per stratum
-        sidx = jnp.clip(sidx, 0, nq - 1)  # (c, nstoch)
-        # reweighting: deterministic weight 1; stochastic T_q / (nstoch p_q)
-        pw = jnp.take_along_axis(p, sidx, axis=1)
-        any_rest = (norm[:, 0] > 0).astype(dtype)
-        wstoch = any_rest[:, None] / (nstoch * jnp.maximum(pw, 1e-30))
-        idx = jnp.concatenate([topi, sidx], axis=1)  # (c, nsel)
-        wts = jnp.concatenate([jnp.ones_like(topv), wstoch], axis=1)
+        idx, wts = systematic_downselect(T, self.nselect, key)
         Tsel = jnp.take_along_axis(T, idx, axis=1) * wts
         aux_sel = jnp.take_along_axis(aux, idx[:, :, None], axis=1)
         rr, ri = self._ratio_pair(wf, params, state, e, aux_sel)

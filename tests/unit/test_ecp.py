@@ -198,6 +198,38 @@ def test_downselection_unbiased():
     assert z.max() < 4.5, z.max()
 
 
+def test_downselect_weights_bounded_f32():
+    """Regression (round-4 advisor, high): an f32 CDF that undershoots 1
+    must not let the last stratum clip onto a p=0 (top-k-zeroed) index and
+    pick up an ~1e29 importance weight. Force the worst case: u -> 1 so
+    the final target sits beyond any undershooting cumsum, with the
+    largest-|T| index (the one the top-k pass zeroes) placed LAST so a
+    clipped pick lands exactly on p=0."""
+    from pyqmc_tpu.observables.ecp import systematic_downselect
+
+    nconf, nq, nselect = 64, 50, 8
+    rng = np.random.default_rng(3)
+    # many tiny near-equal entries whose f32 cumsum rounds badly + one
+    # dominant entry at the END that top-k removes from the remainder
+    T = rng.uniform(1e-6, 2e-6, size=(nconf, nq)).astype(np.float32)
+    T[:, -nselect // 2:] = 1.0
+    u = jnp.full((nconf, 1), 1.0 - 1e-7, dtype=jnp.float32)
+    idx, wts = jax.jit(
+        lambda t: systematic_downselect(t, nselect, jax.random.PRNGKey(0), u=u)
+    )(jnp.asarray(T))
+    wts = np.asarray(wts)
+    assert np.all(np.isfinite(wts))
+    # stochastic weight is 1/(nstoch p) with p >= min/rest_sum ~ 1/(2 nq);
+    # anything above ~1e4 means the p=0 pathology fired
+    assert wts.max() < 1e4, wts.max()
+    # and the estimator over the selected set still reproduces the dense
+    # sum in expectation for uniform ratios: sum_sel w T = sum_all T
+    est = np.take_along_axis(np.asarray(T), np.asarray(idx), axis=1) * wts
+    np.testing.assert_allclose(
+        est.sum(axis=1), np.asarray(T).sum(axis=1), rtol=2e-2
+    )
+
+
 def test_per_atom_naip():
     """The quadrature covers only atoms WITH nonlocal channels (ccECP H is
     purely local; ccECP O has one l=0 projector), sized per atom
