@@ -415,12 +415,20 @@ def rundmc(
     branchtime: int = 1,
     ewin: int = 25,
     profile_dir: Optional[str] = None,
+    pipeline_depth: int = 4,
 ):
     """Run DMC (cf. rundmc dmc.py:413-591); returns (block dicts, configs, weights).
 
     profile_dir: write a jax.profiler (XProf) trace of the first block —
     the on-device timeline of the drift/diffusion sweep, ECP/T-move
     evaluation and branching collectives.
+
+    pipeline_depth: how many blocks the host dispatches ahead of the
+    device on the checkpoint-free path. The whole feedback chain
+    (propagation -> popctrl -> branch) lives on device, so nothing forces
+    a per-block host sync; lag-N keeps the device queue full across the
+    remote-tunnel dispatch latency that capped end-to-end DMC at ~43% of
+    the bare propagation kernel with lag-1 (BENCH_r04 analysis).
     """
     if key is None:
         key = jax.random.PRNGKey(int(time.time() * 1e6) % (2**31))
@@ -530,13 +538,20 @@ def rundmc(
         weights = jax.device_put(weights, sh)
 
     block_data = []
+    _last_flush = [None]
 
     def _finish(avg_dev, b, t0):
         # jax.device_get issues the host copies for ALL leaves before
         # blocking — one overlapped round trip instead of one ~30 ms
         # round trip per leaf on the remote tunnel (measured 273 -> 38 ms)
         avg = jax.device_get(avg_dev)
-        avg["block time"] = time.perf_counter() - t0
+        now = time.perf_counter()
+        # steady-state per-block wall time = spacing between flushes (with
+        # lag-N pipelining, now - t0 would span the whole pipeline depth)
+        avg["block time"] = (
+            now - _last_flush[0] if _last_flush[0] is not None else now - t0
+        )
+        _last_flush[0] = now
         avg["block"] = b
         block_data.append(avg)
         if verbose and b % 10 == 0:
@@ -565,10 +580,20 @@ def rundmc(
         e_trial_d = jnp.asarray(e_trial, dtype)
         e_est_d = jnp.asarray(e_est, dtype)
         esigma_d = jnp.asarray(esigma, dtype)
-        pending = None
-        for b in range(block0, block0 + nblocks):
+        # pre-draw the per-block keys in ONE dispatch + ONE host pull
+        # instead of a random.split dispatch per block (host numpy keys
+        # then ride along with each block dispatch)
+        allkeys = jax.random.split(key, 2 * nblocks)
+        try:
+            allkeys = jax.device_get(allkeys)
+        except Exception:
+            pass  # typed PRNG keys: keep on device, index per block
+        import collections
+
+        pending = collections.deque()
+        for i, b in enumerate(range(block0, block0 + nblocks)):
             t0 = time.perf_counter()
-            key, bkey, brkey = jax.random.split(key, 3)
+            bkey, brkey = allkeys[2 * i], allkeys[2 * i + 1]
             args = (params, positions, wrap, weights, bkey,
                     e_trial_d, e_est_d, esigma_d)
             if profile_dir is not None and b == block0:
@@ -588,11 +613,11 @@ def rundmc(
                 positions, wrap, weights = branch_fn(
                     positions, wrap, weights, brkey
                 )
-            if pending is not None:
-                _finish(*pending)
-            pending = (avg, b, t0)
-        if pending is not None:
-            _finish(*pending)
+            pending.append((avg, b, t0))
+            if len(pending) > max(pipeline_depth, 1):
+                _finish(*pending.popleft())
+        while pending:
+            _finish(*pending.popleft())
     else:
         # SYNCHRONOUS path: every block's walkers/weights must reach the
         # checkpoint, so feedback stays on the host (same formulas).

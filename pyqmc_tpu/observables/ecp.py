@@ -279,7 +279,7 @@ class ECPAccumulator:
     """ecp(wf, params, state, positions, key) -> per-walker ECP energy."""
 
     def __init__(self, mol, naip: int = None, rmax: float = 10.0,
-                 nselect="auto", echunk="auto"):
+                 nselect="auto", echunk="auto", fused="auto"):
         """naip: angular quadrature size (6/12/18/26/32/50). None picks the
         reference's default (eval_ecp.py:239-240): 12 when any atom carries
         more than one nonlocal channel, else 6.
@@ -353,7 +353,38 @@ class ECPAccumulator:
             nselect = None if self.nq_total <= cap else cap
         self.nselect = nselect
         self.echunk = echunk
+        # fused: "auto" (default) runs the whole nonlocal quadrature as one
+        # Pallas kernel (ops/move_pallas.build_fused_ecp_energy) on TPU
+        # backends when the wavefunction pattern supports it and the
+        # evaluation is dense; False disables; "interpret" forces the
+        # kernel in Pallas interpreter mode (CPU parity tests). Same
+        # gating convention as method/vmc.py's fused sweep.
+        self.fused = fused
+        self._fused_cache = {}
         self._build_quadrature_groups()
+
+    def _get_fused(self, wf):
+        """Lazily bind the fused nonlocal-quadrature kernel to `wf` (the
+        builder needs the wavefunction's static structure; the accumulator
+        is constructed before the wavefunction reaches it). Returns the
+        kernel function or None (caller falls back to the XLA chain)."""
+        if not self.fused or self.nselect is not None:
+            return None
+        if self.fused == "auto" and jax.devices()[0].platform in (
+            "cpu", "gpu"
+        ):
+            return None
+        wf_key = id(wf)
+        if wf_key not in self._fused_cache:
+            from ..ops.move_pallas import build_fused_ecp_energy
+            from ..configs import Geometry
+
+            lattice = self._lattice
+            self._fused_cache[wf_key] = build_fused_ecp_energy(
+                wf, Geometry(lattice), self,
+                interpret=(self.fused == "interpret"),
+            )
+        return self._fused_cache[wf_key]
 
     def _build_quadrature_groups(self):
         """Static per-naip atom groups with dense padded radial-term tables,
@@ -603,6 +634,28 @@ class ECPAccumulator:
             # purely local pseudopotentials (e.g. ccECP H): no quadrature
             z = jnp.zeros(nconf, dtype)
             return (local, z) if with_imag else local
+
+        # fused Pallas path: the whole nonlocal quadrature (geometry,
+        # radial channels x Legendre projectors, wavefunction ratios) for
+        # all electrons in ONE kernel with the walker state in VMEM — the
+        # XLA chain below was 58% of the H2O VMC step (BENCH_r04) while
+        # the move sweep already ran fused. Consumes the same per-electron
+        # rotation streams, so fused and XLA energies agree to fp rounding
+        # (tests/unit/test_move_pallas.py::test_fused_ecp_energy).
+        fused_fn = self._get_fused(wf) if not jnp.iscomplexobj(
+            positions
+        ) else None
+        if fused_fn is not None:
+            es = jnp.arange(self.nelec)
+            rot = jax.vmap(
+                lambda e: random_rotations(
+                    jax.random.fold_in(key, 1000 + e), (nconf,)
+                ).astype(dtype)
+            )(es)
+            nl = fused_fn(params, positions, state, rot)
+            if with_imag:
+                return local + nl, jnp.zeros_like(nl)
+            return local + nl
 
         # nonlocal sweep, vmapped over electrons: ONE fused orbital
         # evaluation over nconf * echunk * nq aux points per chunk instead

@@ -195,30 +195,20 @@ def _legendre_static(l, x):
     raise ValueError(l)
 
 
-def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
-                      interpret=False, mode="vmc"):
-    """Fused-sweep builder. Returns
-    sweep(params, positions, wrap, state, gauss_step, unif_step)
-      -> (positions, wrap, state, acc)                      [mode="vmc"]
-      -> (positions, wrap, state, (acc, r2p, r2a))          [mode="dmc"]
-    matching method/vmc.py's (resp. method/dmc.py's drift-diffusion)
-    sweep contract, or None when the wavefunction/geometry pattern is not
-    supported (caller falls back to the XLA sweep). mode="dmc" applies
-    Umrigar drift limiting, fixed-node sign rejection, and returns the
-    per-walker proposed/accepted squared-displacement sums the effective-
-    timestep damping needs (method/dmc.py sweep, reference dmc.py:22-70).
-    """
+def _match_sj(wf, geometry):
+    """Pattern gate shared by the fused-sweep builders: open-boundary
+    MultiplyWF(single-det molecular Slater with occ = the first n orbitals,
+    JastrowSpin) — or either factor alone — with both spin channels
+    non-empty. Returns (slater, jastrow, sl_idx, j_idx) or None."""
     if getattr(geometry, "lattice", None) is not None:
         return None
-    # unpack MultiplyWF into (slater, jastrow); allow either alone
     from ..models.multiply import MultiplyWF
     from ..models.slater import Slater
     from ..models.jastrow import JastrowSpin
     from ..models.orbitals import MolecularOrbitals
 
     factors = list(wf.wfs) if isinstance(wf, MultiplyWF) else [wf]
-    slater = None
-    jastrow = None
+    slater = jastrow = None
     sl_idx = j_idx = None
     for i, f in enumerate(factors):
         if isinstance(f, Slater) and slater is None:
@@ -229,8 +219,7 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
             return None
     if slater is None:
         return None
-    orb = slater.orbitals
-    if not isinstance(orb, MolecularOrbitals):
+    if not isinstance(slater.orbitals, MolecularOrbitals):
         return None
     exp = slater.expansion
     nup, ndn = slater.nup, slater.ndn
@@ -251,8 +240,62 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
             return None
         if getattr(jastrow.geometry, "lattice", None) is not None:
             return None
+    return slater, jastrow, sl_idx, j_idx
 
-    spec = orb.spec
+
+def _quad_static(ecp_acc):
+    """Static quadrature data unrolled into python constants, emitted in the
+    SAME order as observables/ecp._quadrature_geometry (naip groups sorted
+    ascending, atoms within a group in nl_atoms order) so a selection-
+    uniform stream shared with the XLA path picks identical categories even
+    for heterogeneous per-atom naip. Returns
+    ([(atom coord, [(px, py, pz, wq), ...], [(l, coeffs, exps, powers)...])],
+     nq_total) or None when unsupported (periodic / l > 6)."""
+    if not ecp_acc.nl_atoms:
+        return None
+    if getattr(ecp_acc, "_lattice", None) is not None:
+        return None
+    naip = ecp_acc.atom_naip
+    order = [i for n in sorted(set(naip))
+             for i in range(len(naip)) if naip[i] == n]
+    quad = []
+    nq_total = 0
+    for i in order:
+        aecp = ecp_acc.nl_atoms[i]
+        pts_a, w_a = ecp_acc.atom_quad[i]
+        coord = tuple(float(c) for c in ecp_acc.atom_coords[aecp.atom])
+        pts = [(float(p[0]), float(p[1]), float(p[2]), float(wq))
+               for p, wq in zip(np.asarray(pts_a), np.asarray(w_a))]
+        chans = [(int(ch.l), tuple(ch.coeffs), tuple(ch.exps),
+                  tuple(ch.powers)) for ch in aecp.nonlocal_channels]
+        if any(l > 6 for l, *_ in chans):
+            return None
+        quad.append((coord, pts, chans))
+        nq_total += len(pts)
+    return quad, nq_total
+
+
+def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
+                      interpret=False, mode="vmc"):
+    """Fused-sweep builder. Returns
+    sweep(params, positions, wrap, state, gauss_step, unif_step)
+      -> (positions, wrap, state, acc)                      [mode="vmc"]
+      -> (positions, wrap, state, (acc, r2p, r2a))          [mode="dmc"]
+    matching method/vmc.py's (resp. method/dmc.py's drift-diffusion)
+    sweep contract, or None when the wavefunction/geometry pattern is not
+    supported (caller falls back to the XLA sweep). mode="dmc" applies
+    Umrigar drift limiting, fixed-node sign rejection, and returns the
+    per-walker proposed/accepted squared-displacement sums the effective-
+    timestep damping needs (method/dmc.py sweep, reference dmc.py:22-70).
+    """
+    m = _match_sj(wf, geometry)
+    if m is None:
+        return None
+    slater, jastrow, sl_idx, j_idx = m
+    from ..models.multiply import MultiplyWF
+
+    nup, ndn = slater.nup, slater.ndn
+    spec = slater.orbitals.spec
     nao = spec.nao
     nelec = nup + ndn
     groups = _prep_groups(spec)
@@ -695,68 +738,26 @@ def build_fused_tmove_sweep(wf, geometry, ecp_acc, tau, tile=None,
     per electron, or None when unsupported (molecular pattern of
     build_fused_sweep + static quadrature small enough to unroll).
     """
-    if getattr(geometry, "lattice", None) is not None:
+    m = _match_sj(wf, geometry)
+    if m is None:
         return None
+    slater, jastrow, sl_idx, j_idx = m
     from ..models.multiply import MultiplyWF
-    from ..models.slater import Slater
-    from ..models.jastrow import JastrowSpin
-    from ..models.orbitals import MolecularOrbitals
 
-    factors = list(wf.wfs) if isinstance(wf, MultiplyWF) else [wf]
-    slater = jastrow = None
-    sl_idx = j_idx = None
-    for i, f in enumerate(factors):
-        if isinstance(f, Slater) and slater is None:
-            slater, sl_idx = f, i
-        elif isinstance(f, JastrowSpin) and jastrow is None:
-            jastrow, j_idx = f, i
-        else:
-            return None
-    if slater is None:
-        return None
-    orb = slater.orbitals
-    if not isinstance(orb, MolecularOrbitals):
-        return None
-    exp = slater.expansion
     nup, ndn = slater.nup, slater.ndn
-    if nup == 0 or ndn == 0:
-        return None
-    if len(exp.map_up) != 1 or exp.occ_up.shape[0] != 1 or exp.occ_dn.shape[0] != 1:
-        return None
-    if slater.orbitals.norb != (nup, ndn):
-        return None
-    if not (np.array_equal(exp.occ_up[0], np.arange(nup))
-            and np.array_equal(exp.occ_dn[0], np.arange(ndn))):
-        return None
-    if jastrow is not None:
-        if any(b.kind not in ("polypade", "cutoffcusp")
-               for b in jastrow.a_basis + jastrow.b_basis):
-            return None
-        if getattr(jastrow.geometry, "lattice", None) is not None:
-            return None
-    # static quadrature data
-    if not ecp_acc.nl_atoms:
-        return None
-    if getattr(ecp_acc, "_lattice", None) is not None:
-        return None
     nelec = nup + ndn
-    quad = []  # (coord floats, [(ptx, pty, ptz, wq) ...], channels)
-    nq_total = 0
-    for aecp, (pts_a, w_a) in zip(ecp_acc.nl_atoms, ecp_acc.atom_quad):
-        coord = tuple(float(c) for c in ecp_acc.atom_coords[aecp.atom])
-        pts = [(float(p[0]), float(p[1]), float(p[2]), float(wq))
-               for p, wq in zip(np.asarray(pts_a), np.asarray(w_a))]
-        chans = [(int(ch.l), tuple(ch.coeffs), tuple(ch.exps),
-                  tuple(ch.powers)) for ch in aecp.nonlocal_channels]
-        if any(l > 6 for l, *_ in chans):
-            return None
-        quad.append((coord, pts, chans))
-        nq_total += len(pts)
+    # static quadrature data in the XLA emission order (group order fix:
+    # heterogeneous per-atom naip now picks identical categories from the
+    # shared u_sel stream in the fused and XLA paths)
+    q = _quad_static(ecp_acc)
+    if q is None:
+        return None
+    quad, nq_total = q
     if nelec * (nq_total + 2) > max_aux_evals * 2:
         return None  # unrolled kernel would be too large to compile
     rmax = float(ecp_acc.rmax)
 
-    spec = orb.spec
+    spec = slater.orbitals.spec
     nao = spec.nao
     groups = _prep_groups(spec)
     concat_rows = np.argsort(spec.perm)
@@ -1139,3 +1140,230 @@ def build_fused_tmove_sweep(wf, geometry, ecp_acc, tau, tile=None,
         return positions_o, wrap, new_state
 
     return tmove
+
+
+def build_fused_ecp_energy(wf, geometry, ecp_acc, tile=None, interpret=False,
+                           max_aux_evals=512):
+    """Fused Pallas kernel for the nonlocal-ECP energy quadrature — the VMC
+    energy accumulator's dominant cost (58% of the H2O headline step in
+    BENCH_r04 while the move sweep and T-move kernels already ran fused).
+
+    Per electron, entirely in VMEM: quadrature geometry (per-walker
+    rotations consumed as inputs, same streams as
+    observables/ecp._quadrature_geometry), radial channels x Legendre
+    projectors, and the wavefunction ratio at every aux point. The Slater
+    ratio uses the folded form  ratio_q = sum_k ao_k(x_q) wvec_k  with
+    wvec = C @ inv[:, row] computed ONCE per electron — one small matmul
+    per electron instead of an (n, nao, T) MO matmul per aux point (the
+    T-move kernel's formulation).
+
+    Returns ecp_nl(params, positions, state, rot) -> (nconf,) nonlocal
+    energy sum_e sum_q T_q ratio_q, with rot (nelec, nconf, 3, 3) =
+    random_rotations(fold_in(key, 1000+e), (nconf,)) per electron, or None
+    when unsupported (molecular Slater-Jastrow pattern of _match_sj, dense
+    evaluation only). Reference semantics: eval_ecp.py:83-132 (ecp_ea).
+    """
+    m = _match_sj(wf, geometry)
+    if m is None:
+        return None
+    slater, jastrow, sl_idx, j_idx = m
+    from ..models.multiply import MultiplyWF
+
+    nup, ndn = slater.nup, slater.ndn
+    nelec = nup + ndn
+    q = _quad_static(ecp_acc)
+    if q is None:
+        return None
+    quad, nq_total = q
+    if nelec * nq_total > max_aux_evals:
+        return None  # unrolled kernel too large to compile
+    rmax = float(ecp_acc.rmax)
+
+    spec = slater.orbitals.spec
+    nao = spec.nao
+    groups = _prep_groups(spec)
+    concat_rows = np.argsort(spec.perm)
+    if jastrow is not None:
+        a_basis, b_basis = jastrow.a_basis, jastrow.b_basis
+        atom_coords = np.asarray(jastrow.atom_coords)
+        spin = np.asarray(jastrow._spin)
+
+    ngroups = len(groups)
+
+    def kernel(*refs):
+        it = iter(range(len(refs)))
+        posr = refs[next(it)]
+        invur = refs[next(it)]
+        invdr = refs[next(it)]
+        rotr = refs[next(it)]
+        car = refs[next(it)]
+        cbr = refs[next(it)]
+        if jastrow is not None:
+            ac0r = refs[next(it)]
+            ac1r = refs[next(it)]
+            bc0r = refs[next(it)]
+            bc1r = refs[next(it)]
+            atomr = refs[next(it)]
+        tables = [refs[next(it)] for _ in range(3 * ngroups)]
+        onl = refs[next(it)]
+
+        pos = posr[:]                      # (3*nelec, T)
+        invs = {0: invur[:], 1: invdr[:]}  # (n*n, T)
+        rot = rotr[:]                      # (9*nelec, T)
+        cr = {0: car[:], 1: cbr[:]}        # (nao, n) concat-row order
+        T = pos.shape[1]
+        dtype = pos.dtype
+        if jastrow is not None:
+            acs = {0: ac0r[:], 1: ac1r[:]}
+            bcs = {0: bc0r[:], 1: bc1r[:]}
+            acoords = atomr[:]
+
+        def jastrow_u(ex, ey, ez, e, s):
+            """Value-only U terms of electron e at (ex, ey, ez)."""
+            dix = ex[None, :] - acoords[:, 0][:, None]
+            diy = ey[None, :] - acoords[:, 1][:, None]
+            diz = ez[None, :] - acoords[:, 2][:, None]
+            r_ei = jnp.sqrt(dix * dix + diy * diy + diz * diz)
+            u = jnp.zeros((T,), dtype)
+            ac = acs[s]
+            for k, b in enumerate(a_basis):
+                v = _basis_eval_value(b, r_ei)
+                u = u + jnp.sum(ac[:, k][:, None] * v, axis=0)
+            pex = pos.reshape(nelec, 3, T)
+            dex = ex[None, :] - pex[:, 0, :]
+            dey = ey[None, :] - pex[:, 1, :]
+            dez = ez[None, :] - pex[:, 2, :]
+            r_ee = jnp.sqrt(dex * dex + dey * dey + dez * dez)
+            eidx = jax.lax.broadcasted_iota(jnp.int32, (nelec, 1), 0)
+            notself = (eidx != e).astype(dtype)
+            bc = bcs[s]
+            for k, b in enumerate(b_basis):
+                v = _basis_eval_value(b, r_ee)
+                u = u + jnp.sum(bc[k, :][:, None] * notself * v, axis=0)
+            return u
+
+        nl = jnp.zeros((T,), dtype)
+        for e in range(nelec):
+            s = 0 if e < nup else 1
+            n = nup if s == 0 else ndn
+            row = e if s == 0 else e - nup
+            inv = invs[s].reshape(n, n, T)
+            ex, ey, ez = pos[3 * e], pos[3 * e + 1], pos[3 * e + 2]
+            R9 = [rot[9 * e + k] for k in range(9)]  # row-major R[x][y]
+            # fold MO coeffs with the inverse row once: (nao, T)
+            invrow = jnp.stack([inv[j, row] for j in range(n)], axis=0)
+            wvec = jnp.dot(cr[s], invrow, preferred_element_type=dtype)
+            if jastrow is not None:
+                u_old = jastrow_u(ex, ey, ez, e, s)
+
+            for (coord, pts, chans) in quad:
+                dx = ex - coord[0]
+                dy = ey - coord[1]
+                dz = ez - coord[2]
+                r_a = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                rsafe = jnp.maximum(r_a, 1e-12)
+                inside = (r_a < rmax).astype(dtype)
+                vch = {}
+                for (l, coeffs, exps, powers) in chans:
+                    v = jnp.zeros_like(r_a)
+                    for c_, e_, n_ in zip(coeffs, exps, powers):
+                        v = v + c_ * r_a ** (n_ - 2) * jnp.exp(-e_ * r_a * r_a)
+                    vch[(l, coeffs)] = (2 * l + 1) * v * inside
+                for (px, py, pz, wq) in pts:
+                    ddx = R9[0] * px + R9[1] * py + R9[2] * pz
+                    ddy = R9[3] * px + R9[4] * py + R9[5] * pz
+                    ddz = R9[6] * px + R9[7] * py + R9[8] * pz
+                    costh = (ddx * dx + ddy * dy + ddz * dz) / rsafe
+                    Tq = jnp.zeros_like(r_a)
+                    for (l, coeffs, exps, powers) in chans:
+                        Tq = Tq + vch[(l, coeffs)] * _legendre_static(l, costh)
+                    Tq = Tq * wq
+                    ax = coord[0] + r_a * ddx
+                    ay = coord[1] + r_a * ddy
+                    az = coord[2] + r_a * ddz
+                    ao = _emit_ao_val(jnp.stack([ax, ay, az], axis=0),
+                                      tables, groups, nao)
+                    rsl = jnp.sum(ao * wvec, axis=0)  # (T,)
+                    if jastrow is not None:
+                        uq = jastrow_u(ax, ay, az, e, s)
+                        rq = rsl * jnp.exp(uq - u_old)
+                    else:
+                        rq = rsl
+                    nl = nl + Tq * rq
+
+        onl[:] = nl[None, :]
+
+    def ecp_nl(params, positions, state, rot):
+        nconf = positions.shape[0]
+        dtype = positions.dtype
+        t = tile or (256 if nconf % 256 == 0 and nconf >= 256 else 128)
+        Mp = ((nconf + t - 1) // t) * t
+        npad = Mp - nconf
+        grid = (Mp // t,)
+
+        def padw(x):
+            return jnp.pad(x, ((0, 0), (0, npad)), mode="edge") if npad else x
+
+        if isinstance(wf, MultiplyWF):
+            sl_state = state[sl_idx]
+            sl_params = params[f"wf{sl_idx}"]
+        else:
+            sl_state = state
+            sl_params = params
+
+        def tcol(x, rows):
+            return x.reshape(nconf, rows).T
+
+        rot_t = rot.reshape(nelec, nconf, 9).transpose(0, 2, 1).reshape(
+            9 * nelec, nconf
+        )
+        inputs = [padw(x) for x in (
+            tcol(positions, 3 * nelec),
+            tcol(sl_state.inv_up, nup * nup),
+            tcol(sl_state.inv_dn, ndn * ndn),
+            rot_t,
+        )]
+        ca = sl_params["mo_coeff_alpha"][jnp.asarray(concat_rows)]
+        cb = sl_params["mo_coeff_beta"][jnp.asarray(concat_rows)]
+        inputs += [ca, cb]
+        blocked = [3 * nelec, nup * nup, ndn * ndn, 9 * nelec]
+        in_specs = [
+            pl.BlockSpec((r, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in blocked
+        ] + [
+            pl.BlockSpec(ca.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if jastrow is not None:
+            j_params = params[f"wf{j_idx}"]
+            ac = j_params["acoeff"]
+            bc = j_params["bcoeff"]
+            spin_j = jnp.asarray(spin)
+            extras = [ac[:, :, 0], ac[:, :, 1],
+                      bc[:, spin_j], bc[:, 1 + spin_j],
+                      jnp.asarray(atom_coords, dtype)]
+            inputs += extras
+            in_specs += [
+                pl.BlockSpec(x.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for x in extras
+            ]
+        for (l, centers, alpha, coef, C, comps) in groups:
+            for arr in (centers, alpha, coef):
+                a = jnp.asarray(arr, dtype)
+                inputs.append(a)
+                in_specs.append(pl.BlockSpec(
+                    a.shape,
+                    functools.partial(lambda nd, i: (0,) * nd, a.ndim),
+                    memory_space=pltpu.VMEM,
+                ))
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, t), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, Mp), dtype),
+            interpret=interpret,
+        )(*inputs)
+        return out[0, :nconf]
+
+    return ecp_nl

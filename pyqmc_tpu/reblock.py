@@ -7,12 +7,21 @@ with error estimates per level; opt_block: pick the optimal block size.
 import numpy as np
 
 
-def reblock(data, nblocks):
-    """Average `data` (n, ...) into nblocks consecutive chunks."""
+def reblock(data, nblocks, weights=None):
+    """Average `data` (n, ...) into nblocks consecutive chunks.
+
+    With `weights` (n,), each chunk is the weighted mean
+    sum(w_i x_i)/sum(w_i): DMC block data carry population weights, and
+    equal-weight averaging biases both mean and error bar (reference
+    reblock(df, nblocks, weights), pyqmc/reblock.py:19-105)."""
     data = np.asarray(data)
     n = (data.shape[0] // nblocks) * nblocks
     chunks = data[:n].reshape(nblocks, -1, *data.shape[1:])
-    return chunks.mean(axis=1)
+    if weights is None:
+        return chunks.mean(axis=1)
+    w = np.asarray(weights, dtype=float)[:n].reshape(nblocks, -1)
+    wex = w.reshape(w.shape + (1,) * (data.ndim - 1))
+    return (chunks * wex).sum(axis=1) / wex.sum(axis=1)
 
 
 def reblock_by2(data, maxlevels=None):
@@ -51,10 +60,25 @@ def opt_block(data):
     return best[2], best[3], best[0]
 
 
-def reblock_summary(data, nblocks=16):
-    b = reblock(data, nblocks)
+def reblock_summary(data, nblocks=16, weights=None):
+    """Mean + correlated standard error at a fixed reblocking.
+
+    `weights` propagates to the chunk averages (weighted chunks, see
+    reblock); the scatter of the weighted chunk means then estimates the
+    error of the weighted grand mean. The grand mean reported is the
+    weight-recombined one (sum over chunks of W_c m_c / sum W_c), not the
+    plain mean of chunk means, so heavily-weighted stretches count more
+    (reference reblock_summary(weights=...), pyqmc/reblock.py:108-129)."""
+    b = reblock(data, nblocks, weights=weights)
+    if weights is None:
+        mean = b.mean(axis=0)
+    else:
+        n = (np.asarray(data).shape[0] // nblocks) * nblocks
+        Wc = np.asarray(weights, dtype=float)[:n].reshape(nblocks, -1).sum(axis=1)
+        Wc = Wc.reshape(Wc.shape + (1,) * (b.ndim - 1))
+        mean = (b * Wc).sum(axis=0) / Wc.sum(axis=0)
     return {
-        "mean": b.mean(axis=0),
+        "mean": mean,
         "standard error": b.std(axis=0, ddof=1) / np.sqrt(nblocks),
         "nblocks": nblocks,
     }

@@ -24,19 +24,50 @@ from .configs import initial_guess
 from . import reblock as rb
 
 
+def _resolve_system(mol, mf=None, ci_checkfile=None):
+    """Accept a Molecule/Cell (+ optional MeanField) or a pyscf chkfile
+    path — the reference's `dft_checkfile` front door
+    (recipes.py:31-47 via pyscftools.recover_pyscf). Returns (mol, mf, mc)
+    with mc a CASCI/HCI namespace (or None) for generate_wf(mc=...)."""
+    mc = None
+    if isinstance(mol, str):
+        from .system.chkfile import recover_pyscf
+
+        if mf is not None:
+            raise ValueError(
+                "pass either a chkfile path or an explicit MeanField, "
+                "not both"
+            )
+        out = recover_pyscf(mol, ci_checkfile=ci_checkfile)
+        mol, mf = out[0], out[1]
+        if len(out) > 2:
+            mc = out[2]
+    elif ci_checkfile is not None:
+        from .system.chkfile import load, _mc_shim
+
+        casdict = load(ci_checkfile, "ci") or load(ci_checkfile, "mcscf")
+        if casdict is None:
+            raise ValueError(
+                f"{ci_checkfile}: neither 'ci' nor 'mcscf' group present"
+            )
+        mc = _mc_shim(casdict)
+    return mol, mf, mc
+
+
 def _setup(mol, mf=None, nconfig=500, jastrow3=False, jastrow_kws=None,
-           seed=0, naip=None):
+           seed=0, naip=None, ci_checkfile=None):
     # naip=None keeps the accumulator's per-atom 12/6 reference default
     # (eval_ecp.py:239-240); pass an int to pin the quadrature grid.
+    mol, mf, mc = _resolve_system(mol, mf, ci_checkfile)
     if mf is None:
         mf = run_scf(mol)
     wf, params, to_opt = generate_wf(
-        mol, mf, jastrow3=jastrow3, jastrow_kws=jastrow_kws
+        mol, mf, jastrow3=jastrow3, jastrow_kws=jastrow_kws, mc=mc
     )
     configs = initial_guess(mol, nconfig, key=jax.random.PRNGKey(seed))
     ecp_acc = ECPAccumulator(mol, naip=naip) if getattr(mol, "ecp", None) else None
     energy = EnergyAccumulator(mol, ecp_acc=ecp_acc)
-    return mf, wf, params, to_opt, configs, energy
+    return mol, mf, wf, params, to_opt, configs, energy
 
 
 def _slater_orbitals(wf):
@@ -129,11 +160,16 @@ def _resolve_accumulators(mol, mf, wf, accumulators, naip=None):
 def OPTIMIZE(
     mol, output: Optional[str] = None, mf=None, nconfig=500, max_iterations=15,
     jastrow3=False, jastrow_kws=None, naip=None, seed=0, verbose=False,
+    ci_checkfile=None,
     **linemin_kws,
 ):
-    """Optimize a Slater-Jastrow wf; returns (wf, params, records)."""
-    mf, wf, params, to_opt, configs, energy = _setup(
-        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip
+    """Optimize a Slater-Jastrow wf; returns (wf, params, records).
+
+    `mol` may be a Molecule/Cell or a pyscf chkfile path (the reference's
+    `OPTIMIZE(dft_checkfile, ...)` workflow, recipes.py:31-47);
+    `ci_checkfile` adds a CASCI/HCI determinant expansion."""
+    mol, mf, wf, params, to_opt, configs, energy = _setup(
+        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip, ci_checkfile
     )
     lt = LinearTransform(params, to_opt)
     _, configs = vmc(
@@ -157,7 +193,7 @@ def VMC(
     mol, output: Optional[str] = None, mf=None, params=None, nconfig=500,
     nblocks=50, nsteps_per_block=10, tstep=0.5, accumulators=None,
     load_parameters: Optional[str] = None, jastrow3=False, jastrow_kws=None,
-    naip=None, seed=0, mesh=None, verbose=False,
+    naip=None, seed=0, mesh=None, verbose=False, ci_checkfile=None,
 ):
     """Run VMC; returns (block data, configs).
 
@@ -165,9 +201,10 @@ def VMC(
     generate_accumulators kwargs ({"rdm1": True}), merged with the energy
     accumulator. jastrow3/jastrow_kws must match the OPTIMIZE call that
     produced `load_parameters` so the parameter pytree round-trips.
+    `mol` may be a Molecule/Cell or a pyscf chkfile path.
     """
-    mf, wf, params0, to_opt, configs, energy = _setup(
-        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip
+    mol, mf, wf, params0, to_opt, configs, energy = _setup(
+        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip, ci_checkfile
     )
     if params is None:
         params = params0
@@ -190,11 +227,12 @@ def DMC(
     mol, output: Optional[str] = None, mf=None, params=None, nconfig=500,
     nblocks=100, nsteps_per_block=10, tstep=0.02, accumulators=None,
     load_parameters: Optional[str] = None, jastrow3=False, jastrow_kws=None,
-    naip=None, seed=0, mesh=None, verbose=False,
+    naip=None, seed=0, mesh=None, verbose=False, ci_checkfile=None,
     **dmc_kws,
 ):
-    mf, wf, params0, to_opt, configs, energy = _setup(
-        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip
+    """Run DMC; `mol` may be a Molecule/Cell or a pyscf chkfile path."""
+    mol, mf, wf, params0, to_opt, configs, energy = _setup(
+        mol, mf, nconfig, jastrow3, jastrow_kws, seed, naip, ci_checkfile
     )
     if params is None:
         params = params0
@@ -214,12 +252,23 @@ def DMC(
     return data, configs, weights
 
 
-def read_mc_output(filename, warmup=5, reblocks=16):
-    """Summarize a VMC/DMC HDF5 output (recipes.py:224-239)."""
+def read_mc_output(filename, warmup=5, reblocks=16, weights="auto"):
+    """Summarize a VMC/DMC HDF5 output (recipes.py:224-239).
+
+    weights: "auto" (default) weights DMC block observables by the block's
+    mean walker weight (the per-block "weight" dataset rundmc streams) —
+    population weights make equal-weight averages biased; None forces the
+    unweighted analysis; or an explicit (nblocks,) array."""
     import h5py
 
     out = {}
     with h5py.File(filename, "r") as f:
+        w = None
+        if isinstance(weights, str) and weights == "auto":
+            if "weight" in f:
+                w = np.asarray(f["weight"])[warmup:]
+        elif weights is not None:
+            w = np.asarray(weights)[warmup:]
         for k in f.keys():
             if k in ("configs", "wf", "weights"):
                 continue
@@ -227,8 +276,11 @@ def read_mc_output(filename, warmup=5, reblocks=16):
             if np.issubdtype(data.dtype, np.number) and len(data) >= 2:
                 # scalars AND array-valued observables (S(q), density
                 # matrices): reblock_summary reduces along the block axis
-                # elementwise
-                s = rb.reblock_summary(data, min(reblocks, max(2, len(data) // 2)))
+                # elementwise. The weight stream itself stays unweighted.
+                wk = None if k in ("weight", "block") else w
+                s = rb.reblock_summary(
+                    data, min(reblocks, max(2, len(data) // 2)), weights=wk
+                )
                 out[k] = s["mean"]
                 out[k + "_err"] = s["standard error"]
     return out

@@ -221,6 +221,82 @@ def test_fused_tmove_block_matches_xla(rng):
     )
 
 
+def _bc_sj(rng):
+    """Heterogeneous-naip ECP system: B (tpu1, 2 nonlocal channels, naip 12)
+    + C (ccECP, 1 channel, naip 6) — the quadrature group order (sorted by
+    naip: C first) differs from nl_atoms order (B first), regression for
+    the round-4 advisor category-order finding."""
+    from pyqmc_tpu.system.basis import get_basis, get_ecp
+
+    bas = {**get_basis("tpu1dz", ["B"]), **get_basis("ccecpccpvdz", ["C"])}
+    ecp = {**get_ecp("tpu1", ["B"]), **get_ecp("ccecp", ["C"])}
+    mol = Molecule([("B", (0, 0, 0)), ("C", (0, 0, 2.8))], basis=bas,
+                   ecp=ecp, spin=1)
+    nup, ndn = mol.nelec
+    ca = rng.normal(size=(mol.nao, nup))
+    cb = rng.normal(size=(mol.nao, ndn))
+    slater = Slater(mol, None, DeterminantExpansion.single(nup, ndn), (ca, cb))
+    jas = JastrowSpin(mol)
+    wf = MultiplyWF(slater, jas)
+    params = wf.make_params()
+    params["wf1"]["acoeff"] = jnp.asarray(
+        rng.normal(scale=0.1, size=params["wf1"]["acoeff"].shape)
+    )
+    return mol, wf, params
+
+
+def test_fused_ecp_energy_matches_xla(rng):
+    """Fused Pallas nonlocal-ECP energy vs the XLA dense quadrature chain:
+    same key => same rotations => identical energies to fp rounding.
+    Heterogeneous per-atom naip exercises the sorted-group emission order."""
+    from pyqmc_tpu.observables.ecp import ECPAccumulator
+
+    mol, wf, params = _bc_sj(rng)
+    nconf = 6
+    positions = jnp.asarray(rng.normal(scale=1.5, size=(nconf, wf.nelec, 3)))
+    state = wf.recompute(params, positions)
+    key = jax.random.PRNGKey(7)
+    acc_x = ECPAccumulator(mol, fused=False)
+    acc_f = ECPAccumulator(mol, fused="interpret")
+    assert acc_x.nselect is None  # dense: the fused path's precondition
+    e_x = np.asarray(acc_x(wf, params, state, positions, key))
+    assert acc_f._get_fused(wf) is not None
+    e_f = np.asarray(acc_f(wf, params, state, positions, key))
+    np.testing.assert_allclose(e_f, e_x, rtol=1e-9, atol=1e-11)
+    assert np.max(np.abs(e_x)) > 1e-4  # nontrivial energies
+
+
+@pytest.mark.slow
+def test_fused_tmove_heterogeneous_naip(rng):
+    """Whole 1-step DMC block on the B/C heterogeneous-naip system: the
+    fused T-move kernel must emit quadrature categories in the same
+    sorted-naip group order as the XLA _quadrature_geometry so the shared
+    u_sel stream selects identical moves (round-4 advisor finding)."""
+    from pyqmc_tpu.method.dmc import make_dmc_block
+    from pyqmc_tpu.observables.accumulators import EnergyAccumulator
+    from pyqmc_tpu.observables.ecp import ECPAccumulator
+
+    mol, wf, params = _bc_sj(rng)
+    acc = EnergyAccumulator(mol, ecp_acc=ECPAccumulator(mol, fused=False))
+    assert acc.ecp_acc.active and len(set(acc.ecp_acc.atom_naip)) == 2
+    nconf = 4
+    positions = jnp.asarray(rng.normal(scale=1.5, size=(nconf, wf.nelec, 3)))
+    wrap = jnp.zeros((nconf, wf.nelec, 3), jnp.int32)
+    geometry = Geometry(None)
+    key = jax.random.PRNGKey(23)
+    outs = {}
+    for fused in (False, "interpret"):
+        blk, _ = make_dmc_block(wf, acc, geometry, 0.05, 1, fused=fused)
+        w0 = jnp.ones(nconf, positions.dtype)
+        p, w, wts, avg = blk(
+            params, jnp.array(positions), jnp.array(wrap), w0, key,
+            jnp.float64(-8.0), jnp.float64(-8.0), jnp.float64(1.0),
+        )
+        outs[bool(fused)] = (p, wts, avg)
+    np.testing.assert_allclose(outs[False][0], outs[True][0], atol=1e-9)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-9)
+
+
 def test_gating():
     """Unsupported patterns return None (caller falls back to XLA sweep)."""
     mol = Molecule("He 0 0 0", basis="sto-3g")

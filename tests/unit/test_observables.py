@@ -124,6 +124,61 @@ def test_reblock_correlated():
     assert 0.5 * true_se < se < 1.6 * true_se, (se, true_se)
 
 
+def test_reblock_weighted():
+    """Weighted reblock: chunk means are sum(w x)/sum(w), the grand mean is
+    the weight-recombined one, and weights=None reproduces the old path
+    (reference reblock(df, nblocks, weights), pyqmc/reblock.py:19-129)."""
+    rng = np.random.default_rng(11)
+    n, nb = 64, 8
+    x = rng.normal(size=n)
+    w = rng.uniform(0.2, 3.0, size=n)
+    b = rb.reblock(x, nb, weights=w)
+    xc = x.reshape(nb, -1)
+    wc = w.reshape(nb, -1)
+    np.testing.assert_allclose(
+        b, (xc * wc).sum(axis=1) / wc.sum(axis=1), rtol=1e-12
+    )
+    s = rb.reblock_summary(x, nb, weights=w)
+    np.testing.assert_allclose(
+        s["mean"], (x * w).sum() / w.sum(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        rb.reblock(x, nb, weights=np.ones(n)), rb.reblock(x, nb), rtol=1e-12
+    )
+    # array-valued data broadcasts the weights over trailing axes
+    xa = rng.normal(size=(n, 3))
+    ba = rb.reblock(xa, nb, weights=w)
+    for j in range(3):
+        np.testing.assert_allclose(
+            ba[:, j], rb.reblock(xa[:, j], nb, weights=w), rtol=1e-12
+        )
+
+
+def test_read_mc_output_weighted(tmp_path):
+    """read_mc_output weights DMC-style block data by the 'weight' stream:
+    a value series correlated with the weights shifts toward the
+    high-weight values; weights=None recovers the plain average."""
+    import h5py
+    from pyqmc_tpu.recipes import read_mc_output
+
+    rng = np.random.default_rng(12)
+    nb = 40
+    w = rng.uniform(0.5, 2.0, size=nb)
+    e = -10.0 + (w - w.mean())  # correlated with weight
+    fn = str(tmp_path / "dmc.hdf5")
+    with h5py.File(fn, "w") as f:
+        f["energytotal"] = e
+        f["weight"] = w
+    out_w = read_mc_output(fn, warmup=0, reblocks=8)
+    out_u = read_mc_output(fn, warmup=0, reblocks=8, weights=None)
+    expect_w = (e * w).sum() / w.sum()
+    np.testing.assert_allclose(out_w["energytotal"], expect_w, rtol=1e-10)
+    np.testing.assert_allclose(out_u["energytotal"], e.mean(), rtol=1e-10)
+    assert abs(out_w["energytotal"] - out_u["energytotal"]) > 1e-3
+    # the weight stream itself is summarized unweighted
+    np.testing.assert_allclose(out_w["weight"], w.reshape(8, -1).mean(axis=1).mean())
+
+
 def test_tbdm_ijkl_subset(he_setup):
     """The ijkl-selected TBDM entries equal the corresponding entries of
     the full tensor (same RNG key -> same aux points)."""
