@@ -629,9 +629,13 @@ def rundmc(
         # pipelined path's ring initialization, so both paths apply the same
         # feedback sequence
         ehist = [e_est]
-        for b in range(block0, block0 + nblocks):
+        # draw the per-block keys exactly as the pipelined path does (one
+        # split of 2*nblocks, indexed per block) so checkpointed and
+        # checkpoint-free runs produce identical chains
+        allkeys = jax.random.split(key, 2 * nblocks)
+        for i, b in enumerate(range(block0, block0 + nblocks)):
             t0 = time.perf_counter()
-            key, bkey, brkey = jax.random.split(key, 3)
+            bkey, brkey = allkeys[2 * i], allkeys[2 * i + 1]
             block_args = (
                 params, positions, wrap, weights,
                 bkey, jnp.asarray(e_trial, dtype), jnp.asarray(e_est, dtype),

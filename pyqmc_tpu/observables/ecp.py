@@ -662,18 +662,36 @@ class ECPAccumulator:
         # of nelec sequential small calls (the reference loops electrons in
         # Python, eval_ecp.py:232-260)
         dense = self.nselect is None or self.nselect >= self.nq_total
-        aux_all_ok = dense and not getattr(wf, "ratio_is_modulus", False)
-        if aux_all_ok:
-            # flat-orbital path: geometry vmapped (cheap), wavefunction
-            # ratios through testvalue_aux_all so the electron-INDEPENDENT
-            # orbital kernel runs once on the flat point set (measured on
-            # v5e: the vmapped orbital eval was the ECP's top cost)
+        flat_ok = not getattr(wf, "ratio_is_modulus", False)
+        if flat_ok:
+            # flat-orbital path: geometry (and, when active, the
+            # downselection) vmapped over electrons — both cheap — then the
+            # wavefunction ratios through ONE testvalue_aux_all call on the
+            # flat point set, so the electron-INDEPENDENT orbital kernel
+            # runs once (and, for single-det wavefunctions, rides the fused
+            # Pallas transposed GTO+MO evaluator). Measured on v5e: the
+            # per-electron vmapped testvalue orbital eval was the ECP's top
+            # cost on both the molecular dense and the periodic
+            # downselected configurations.
             from ..models.multiply import default_testvalue_aux_all
 
             def one_chunk(ec, kc):
                 aux_c, T_c, _ = jax.vmap(
                     lambda e, kk: self._quadrature_geometry(positions, e, kk)
                 )(ec, kc)
+                if not dense:
+                    # same selection stream as _downselected_quadrature:
+                    # per-electron systematic inverse-CDF downselect, then
+                    # gather the kept points before the flat ratio call
+                    idx, wts = jax.vmap(
+                        lambda t, kk: systematic_downselect(
+                            t, self.nselect, kk
+                        )
+                    )(T_c, kc)
+                    T_c = jnp.take_along_axis(T_c, idx, axis=2) * wts
+                    aux_c = jnp.take_along_axis(
+                        aux_c, idx[..., None], axis=2
+                    )
                 rat = default_testvalue_aux_all(wf, params, state, aux_c)
                 if jnp.iscomplexobj(rat):
                     rr, ri = jnp.real(rat), jnp.imag(rat)

@@ -63,7 +63,8 @@ def cation_spin(Z: int) -> int:
     return CATION_SPIN.get(Z, GROUND_SPIN.get(Z - 1, 0))
 
 
-def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0, init_C=None):
+def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0, init_C=None,
+              e_ref=None, e_tol=0.1):
     """Atomic UHF robust against excited-state SCF minima: atomic cations
     (and weak trial ECPs) can converge to aufbau-violating solutions (e.g.
     B+ landing on 1s2 2p2 — the hydrogenic core guess leaves 2s/2p
@@ -82,11 +83,18 @@ def _atom_scf(symbol, basis, ecp, spin, cache=None, charge=0, init_C=None):
         # the robustness ladder entirely — the ECP generator's fit loop
         # runs hundreds of SCFs whose solutions move by tiny parameter
         # steps, and re-running the cold plain + level-shift attempts each
-        # time cost minutes per residual evaluation for 3d-metal seas
+        # time cost minutes per residual evaluation for 3d-metal seas.
+        # Convergence alone is NOT acceptance: a warm start can converge
+        # into a DIFFERENT (excited) SCF basin, which would be re-cached
+        # and silently poison every later residual for this (spin, charge)
+        # — so the shortcut also requires the energy to sit within e_tol
+        # of the previous iterate's (e_ref); a suspicious jump falls
+        # through to the ladder, which keeps the lowest converged energy.
         try:
             mf = run_scf(mol, integrals_cache=cache, conv_tol=1e-9,
                          init_C=init_C)
-            if np.isfinite(mf.e_tot) and mf.converged:
+            if (np.isfinite(mf.e_tot) and mf.converged
+                    and (e_ref is None or mf.e_tot < e_ref + e_tol)):
                 return mol, mf
         except Exception:
             pass
@@ -320,14 +328,19 @@ def generate_ecp(symbol, ncore, lmax_val=1, verbose=False, maxiter=40):
             ch[l] = (float(np.exp(x[3 + 2 * i])), float(x[4 + 2 * i]))
         return a1, a3, gamma, ch
 
-    warm = {}  # (spin, charge) -> last successful MOs: warm-starts the
-    # fit loop's SCFs (tiny parameter steps between residual evaluations)
+    warm = {}  # (spin, charge) -> (last successful MOs, e_tot): warm-starts
+    # the fit loop's SCFs (tiny parameter steps between residual
+    # evaluations); e_tot gates acceptance of the warm-start shortcut
 
     def levels_for(entry, sp, charge, init_C=None):
-        ic = init_C if init_C is not None else warm.get((sp, charge))
+        cached = warm.get((sp, charge))
+        ic = init_C if init_C is not None else (
+            cached[0] if cached is not None else None
+        )
+        e_ref = cached[1] if cached is not None else None
         mol, mf = _atom_scf(symbol, sea, entry, sp, cache=cache,
-                            charge=charge, init_C=ic)
-        warm[(sp, charge)] = mf.mo_coeff
+                            charge=charge, init_C=ic, e_ref=e_ref)
+        warm[(sp, charge)] = (mf.mo_coeff, float(mf.e_tot))
         out, _ = _channel_levels(mol, mf, lmax_val)
         return out, float(mf.e_tot), mf.mo_coeff
 

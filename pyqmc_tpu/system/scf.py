@@ -98,6 +98,12 @@ def run_scf(
     # copy, built once and cached (the ECP generator runs hundreds of SCFs
     # in one fixed sea — a naive einsum contraction was ~100x slower for
     # 3d-metal all-electron seas, nao ~ 150).
+    # MEMORY: ERI_K is a full second nao^4 array — ~4 GB f64 at nao~150 —
+    # doubling the peak host memory of a cached-sea SCF. A per-iteration
+    # tensordot over the strided view would avoid the persistent copy but
+    # re-materializes the same transpose on EVERY Fock build, which is the
+    # 100x slowdown above; keep the cache, and pass integrals_cache=None
+    # (or evict "ERI_K") when memory is tighter than time.
     nao_ = S.shape[0]
     ERI_J = ERI.reshape(nao_ * nao_, nao_ * nao_)
     if integrals_cache is not None and "ERI_K" in integrals_cache:

@@ -286,3 +286,40 @@ def test_nselect_auto_rule():
     assert acc16.nq_total == 96 and acc16.nselect == 24
     dense16 = ECPAccumulator(c16, naip=6, nselect=None)
     assert dense16.nselect is None
+
+
+def test_downselect_flat_path_matches_per_electron():
+    """The flat downselected path (one testvalue_aux_all call over the
+    gathered selections) must reproduce the per-electron chunked path
+    (_nonlocal_electron) exactly: both consume identical per-electron
+    rotation + selection streams, so the sums agree to fp rounding."""
+    from pyqmc_tpu.system.scf import run_scf
+    from pyqmc_tpu.configs import initial_guess
+
+    mol = Molecule(
+        "C 0 0 0; C 2.9 0 0; C 0 2.9 0; C 2.9 2.9 0",
+        basis="ccecpccpvdz", ecp="ccecp", spin=0,
+    )
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    p = wf.make_params()
+    cfg = initial_guess(mol, 12, key=jax.random.PRNGKey(0))
+    st = wf.recompute(p, cfg.positions)
+    acc = ECPAccumulator(mol, naip=6, nselect=8)
+    assert acc.nselect == 8 and acc.nq_total > 8  # downselect active
+    key = jax.random.PRNGKey(5)
+    total = np.asarray(acc(wf, p, st, cfg.positions, key))
+    # reference: the per-electron internals with the same key stream
+    dtype = cfg.positions.dtype
+    local = jnp.zeros(cfg.positions.shape[0], dtype)
+    for aecp in acc.atoms:
+        R = jnp.asarray(acc.atom_coords[aecp.atom], dtype)
+        d = acc._mic(cfg.positions - R[None, None, :])
+        r = jnp.linalg.norm(d, axis=-1)
+        local = local + jnp.sum(aecp.local.evaluate(r), axis=1)
+    nl = jnp.zeros_like(local)
+    for e in range(acc.nelec):
+        ekey = jax.random.fold_in(key, 1000 + e)
+        re_e, _ = acc._nonlocal_electron(wf, p, st, cfg.positions, e, ekey)
+        nl = nl + re_e
+    np.testing.assert_allclose(total, np.asarray(local + nl), rtol=1e-10)
