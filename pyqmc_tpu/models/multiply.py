@@ -32,16 +32,19 @@ def default_move_finish(w, params, state, e, epos, aux):
     return w.gradient_value(params, state, e, epos)
 
 
-def default_testvalue_aux_all(w, params, state, aux):
-    """Ratios (nelec, nconf, naux) for replacing EACH electron e with its own
-    aux points aux[e] (nelec, nconf, naux, 3) — the ECP quadrature access
-    pattern. Wavefunctions whose per-point cost is dominated by an
+def default_testvalue_aux_all(w, params, state, aux, es=None):
+    """Ratios (ne, nconf, naux) for replacing electron es[i] with its own
+    aux points aux[i] (ne, nconf, naux, 3) — the ECP quadrature access
+    pattern. es None means aux covers ALL electrons in order; otherwise es
+    is a STATIC sequence of electron indices (the ECP pass chunks electrons
+    to bound the aux-point batch, and the chunks carry arbitrary mixed-spin
+    subsets). Wavefunctions whose per-point cost is dominated by an
     electron-INDEPENDENT kernel (Slater: the orbital evaluation) implement
     testvalue_aux_all to hoist that kernel out of the electron vmap into one
     flat call; everything else falls back to vmapped testvalue."""
     if hasattr(w, "testvalue_aux_all"):
-        return w.testvalue_aux_all(params, state, aux)
-    es = jnp.arange(aux.shape[0])
+        return w.testvalue_aux_all(params, state, aux, es=es)
+    es = jnp.arange(aux.shape[0]) if es is None else jnp.asarray(es)
     return jax.vmap(
         lambda e, a: w.testvalue(params, state, e, a)[0]
     )(es, aux)
@@ -159,12 +162,12 @@ class MultiplyWF:
             saved.append(svi)
         return go, gn, ratio, tuple(saved)
 
-    def testvalue_aux_all(self, params, state, aux):
+    def testvalue_aux_all(self, params, state, aux, es=None):
         """Product of per-factor aux-all ratios (see
         default_testvalue_aux_all)."""
         ratio = None
         for w, p, s in zip(self.wfs, self._split(params), state):
-            ri = default_testvalue_aux_all(w, p, s, aux)
+            ri = default_testvalue_aux_all(w, p, s, aux, es=es)
             ratio = ri if ratio is None else ratio * ri
         return ratio
 

@@ -236,12 +236,16 @@ class Slater:
         saved = {"mo_up": mo_up, "mo_dn": mo_dn}
         return ratio, saved
 
-    def testvalue_aux_all(self, params, state, aux):
-        """Ratios (nelec, nconf, naux) for replacing each electron e with
-        aux[e] (nelec, nconf, naux, 3) — the ECP quadrature pattern.
+    def testvalue_aux_all(self, params, state, aux, es=None):
+        """Ratios (ne, nconf, naux) for replacing electron es[i] with
+        aux[i] (ne, nconf, naux, 3) — the ECP quadrature pattern. es None
+        means aux covers ALL electrons in order; otherwise es is a STATIC
+        sequence of electron indices (mixed spins allowed) — the ECP pass
+        chunks electrons to bound the aux-point batch and each chunk is an
+        arbitrary subset.
 
         The orbital evaluation is electron-independent, so it runs ONCE on
-        the flat (nelec*nconf*naux, 3) point set (where the fused Pallas
+        the flat (ne*nconf*naux, 3) point set (where the fused Pallas
         GTO+MO kernel is ~4x the vmapped XLA path on v5e); only the cheap
         det-ratio contraction is vmapped over the electron index.
 
@@ -259,7 +263,7 @@ class Slater:
             and exp.occ_dn.shape[0] == 1
             and hasattr(self.orbitals, "eval_mo_t")
         )
-        if single:
+        if single and es is None:
             mo_t = self.orbitals.eval_mo_t(params, aux.reshape(-1, 3))
             norb_up = self.orbitals.norb[0]
             outs = []
@@ -280,12 +284,42 @@ class Slater:
                 )
                 outs.append(jnp.sum(sel * icol, axis=0).reshape(n_s, nc, nq))
             return jnp.concatenate(outs, axis=0)
+        if single:
+            # static electron subset: one flat orbital pass, then per-spin
+            # contractions with static row/column gathers
+            es_np = np.asarray(es, dtype=np.int64)
+            mo_t = self.orbitals.eval_mo_t(params, aux.reshape(-1, 3))
+            norb_up = self.orbitals.norb[0]
+            mo_r = mo_t.reshape(-1, ne, nc, nq)  # (norb_tot, ne, nc, nq)
+            outs, order = [], []
+            for s, (inv, occ, n_s, off, base) in enumerate((
+                (state.inv_up, exp.occ_up[0], self.nup, 0, 0),
+                (state.inv_dn, exp.occ_dn[0], self.ndn, norb_up, self.nup),
+            )):
+                idxs = [i for i, e in enumerate(es_np)
+                        if (e < self.nup) == (s == 0)]
+                if not idxs:
+                    continue
+                rows = np.asarray([int(es_np[i]) - base for i in idxs])
+                sel = mo_r[jnp.asarray(np.asarray(occ) + off)][
+                    :, jnp.asarray(idxs)
+                ]  # (n_s, k, nc, nq)
+                icol = inv[:, 0][:, :, jnp.asarray(rows)]  # (nc, n_s, k)
+                outs.append(
+                    jnp.einsum("jkcq,cjk->kcq", sel, icol)
+                )
+                order.extend(idxs)
+            out = jnp.concatenate(outs, axis=0)
+            return out[jnp.asarray(np.argsort(order))]
         mo_up, mo_dn = self.orbitals.eval(params, aux.reshape(-1, 3), 0)
         mo_up = mo_up.reshape(ne, nc, nq, -1)
         mo_dn = mo_dn.reshape(ne, nc, nq, -1)
+        es_arr = jnp.arange(ne) if es is None else jnp.asarray(
+            np.asarray(es)
+        )
         return jax.vmap(
             lambda e, mu, md: self._ratio_terms(params, state, e, mu, md)
-        )(jnp.arange(ne), mo_up, mo_dn)
+        )(es_arr, mo_up, mo_dn)
 
     def testvalue_many(self, params, state, epos):
         """Ratios for replacing EACH electron with epos (nconf, 3) one at a

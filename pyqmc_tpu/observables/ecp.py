@@ -443,7 +443,7 @@ class ECPAccumulator:
                 # not the single point r_in: a non-monotone channel
                 # (c r^(n-2) e^{-e r^2} peaking beyond r_in, or terms
                 # cancelling exactly at r_in) must not slip through
-                rs = np.linspace(r_in, max(rmax, r_in + 1e-9), 256)
+                rs = np.linspace(r_in, max(self.rmax, r_in + 1e-9), 256)
                 vmax = 0.0
                 for a in self.atoms:
                     chans = list(a.nonlocal_channels)
@@ -675,7 +675,7 @@ class ECPAccumulator:
             # downselected configurations.
             from ..models.multiply import default_testvalue_aux_all
 
-            def one_chunk(ec, kc):
+            def one_chunk(ec, kc, es_static):
                 aux_c, T_c, _ = jax.vmap(
                     lambda e, kk: self._quadrature_geometry(positions, e, kk)
                 )(ec, kc)
@@ -692,7 +692,9 @@ class ECPAccumulator:
                     aux_c = jnp.take_along_axis(
                         aux_c, idx[..., None], axis=2
                     )
-                rat = default_testvalue_aux_all(wf, params, state, aux_c)
+                rat = default_testvalue_aux_all(
+                    wf, params, state, aux_c, es=es_static
+                )
                 if jnp.iscomplexobj(rat):
                     rr, ri = jnp.real(rat), jnp.imag(rat)
                 else:
@@ -725,8 +727,26 @@ class ECPAccumulator:
             npts = self.nselect if self.nselect else self.nq_total
             chunk = max(1, 262144 // max(nconf * npts, 1))
         if chunk is None or chunk >= self.nelec:
-            re_all, im_all = one_chunk(es, keys)  # (ne, c)
+            if flat_ok:
+                re_all, im_all = one_chunk(es, keys, None)
+            else:
+                re_all, im_all = one_chunk(es, keys)  # (ne, c)
             nl, nl_im = jnp.sum(re_all, axis=0), jnp.sum(im_all, axis=0)
+        elif flat_ok:
+            # STATIC chunks (unrolled Python loop): the flat ratio path
+            # splits each chunk's electrons by spin with static row/column
+            # gathers (Slater.testvalue_aux_all es=), which a traced
+            # lax.scan chunk index cannot express — and the two chunk
+            # shapes (full + remainder) compile once each
+            nl = jnp.zeros(nconf, dtype)
+            nl_im = jnp.zeros(nconf, dtype)
+            step = int(chunk)
+            for c0 in range(0, self.nelec, step):
+                ec = tuple(range(c0, min(c0 + step, self.nelec)))
+                kc = keys[c0:c0 + len(ec)]
+                re_c, im_c = one_chunk(jnp.asarray(ec), kc, ec)
+                nl = nl + jnp.sum(re_c, axis=0)
+                nl_im = nl_im + jnp.sum(im_c, axis=0)
         else:
             pad = (-self.nelec) % chunk
             es_p = jnp.concatenate([es, jnp.zeros(pad, es.dtype)])

@@ -323,3 +323,90 @@ def test_downselect_flat_path_matches_per_electron():
         re_e, _ = acc._nonlocal_electron(wf, p, st, cfg.positions, e, ekey)
         nl = nl + re_e
     np.testing.assert_allclose(total, np.asarray(local + nl), rtol=1e-10)
+
+
+def test_periodic_general_lattice_builds():
+    """Regression: constructing an ECPAccumulator on a MODE_GENERAL (skewed)
+    lattice must evaluate the single-wrap minimal-image gate — the radial
+    screening grid spans [inradius, self.rmax] (a NameError here only
+    surfaced on periodic builds because the gate is lattice-gated)."""
+    from ..fixtures_pbc import load_cell
+    from pyqmc_tpu.system.supercell import get_supercell
+
+    cell, _ = load_cell("diamond_primitive")
+    sup = get_supercell(cell, 2 * np.eye(3, dtype=int))
+    acc = ECPAccumulator(sup, naip=6)
+    assert isinstance(acc._mic_fast, (bool, np.bool_))
+    assert acc.nq_total > 0
+
+
+def test_flat_chunked_matches_unchunked_periodic():
+    """The flat-orbital ECP path with electron CHUNKING must agree exactly
+    with the unchunked call: chunks carry arbitrary mixed-spin electron
+    subsets, which the static-es testvalue_aux_all contraction handles
+    (regression: the lax.scan chunking fed electron subsets into a
+    contraction that assumed aux covered all electrons in order, breaking
+    every configuration whose echunk < nelec — i.e. the periodic bench)."""
+    from ..fixtures_pbc import load_cell
+    from pyqmc_tpu.system.supercell import get_supercell
+    from pyqmc_tpu.models.orbitals import KPointOrbitals
+    from pyqmc_tpu.models.jastrow import JastrowSpin
+    from pyqmc_tpu.models.multiply import MultiplyWF
+    from pyqmc_tpu.configs import initial_guess
+    from pyqmc_tpu.wftools import default_jastrow_basis
+
+    cell, d = load_cell("diamond_primitive")
+    sup = get_supercell(cell, 2 * np.eye(3, dtype=int))
+    kpts = np.asarray(d["kpts"])
+    blocks = [np.asarray(d["mo_coeff"][k])[:, :4] for k in range(len(kpts))]
+    norb = 4 * len(kpts)
+    orb = KPointOrbitals(cell, kpts, (blocks, blocks), img_tol=1e-4)
+    slater = Slater(sup, orb, DeterminantExpansion.single(norb, norb))
+    a_b, b_b = default_jastrow_basis(sup)
+    sj = MultiplyWF(slater, JastrowSpin(sup, a_basis=a_b, b_basis=b_b))
+    params = sj.make_params()
+    configs = initial_guess(sup, 4, key=jax.random.PRNGKey(3))
+    st = sj.recompute(params, configs.positions)
+    key = jax.random.PRNGKey(1)
+    o1 = np.asarray(
+        ECPAccumulator(sup, naip=6, echunk=None)(
+            sj, params, st, configs.positions, key
+        )
+    )
+    # echunk=7 forces uneven mixed-spin chunks (7,...,1) on 64 electrons
+    o2 = np.asarray(
+        ECPAccumulator(sup, naip=6, echunk=7)(
+            sj, params, st, configs.positions, key
+        )
+    )
+    np.testing.assert_allclose(o1, o2, rtol=1e-9)
+
+
+def test_flat_chunked_matches_unchunked_molecular():
+    """Same chunking invariance on a molecular multi-atom configuration
+    (mixed-spin chunks, dense and downselected)."""
+    from pyqmc_tpu.system.scf import run_scf
+    from pyqmc_tpu.configs import initial_guess
+
+    mol = Molecule(
+        "C 0 0 0; C 2.9 0 0; C 0 2.9 0; C 2.9 2.9 0",
+        basis="ccecpccpvdz", ecp="ccecp", spin=0,
+    )
+    mf = run_scf(mol)
+    wf = Slater.from_mean_field(mf)
+    p = wf.make_params()
+    cfg = initial_guess(mol, 5, key=jax.random.PRNGKey(0))
+    st = wf.recompute(p, cfg.positions)
+    key = jax.random.PRNGKey(5)
+    for nselect in (None, 8):
+        o1 = np.asarray(
+            ECPAccumulator(mol, naip=6, nselect=nselect, echunk=None)(
+                wf, p, st, cfg.positions, key
+            )
+        )
+        o2 = np.asarray(
+            ECPAccumulator(mol, naip=6, nselect=nselect, echunk=3)(
+                wf, p, st, cfg.positions, key
+            )
+        )
+        np.testing.assert_allclose(o1, o2, rtol=1e-9)
