@@ -290,7 +290,13 @@ def build_fused_sweep(wf, geometry, tstep, drift_cutoff=1.0, tile=None,
     """
     m = _match_sj(wf, geometry)
     if m is None:
-        return None
+        # periodic TRIM-realified pattern: delegate to the k-point kernel
+        from .move_pallas_pbc import build_fused_sweep_pbc
+
+        return build_fused_sweep_pbc(
+            wf, geometry, tstep, drift_cutoff=drift_cutoff, tile=tile,
+            interpret=interpret, mode=mode,
+        )
     slater, jastrow, sl_idx, j_idx = m
     from ..models.multiply import MultiplyWF
 
